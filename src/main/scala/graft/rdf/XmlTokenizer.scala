@@ -1,0 +1,365 @@
+package graft.rdf
+
+import scala.collection.mutable
+
+/** XML events, mirroring the granularity the reference receives from its
+  * SAX layer (`@rubensworks/saxes`, wired at `lib/RdfXmlParser.ts:220-227`):
+  * opentag / text / cdata / closetag / doctype, with namespace-resolved
+  * names and attributes.
+  */
+sealed trait XmlEvent
+
+/** One attribute, namespace-resolved.
+  * `uri` is "" for unprefixed non-namespace attributes (the reference checks
+  * `attribute.uri` truthiness to skip those, `lib/RdfXmlParser.ts:399-404`).
+  * The `xmlns` attribute itself follows the saxes convention:
+  * prefix="xmlns", local="".
+  */
+final case class XmlAttr(qname: String, prefix: String, local: String, uri: String, value: String)
+
+final case class OpenTag(
+    name: String,
+    prefix: String,
+    local: String,
+    uri: String,
+    attributes: Vector[XmlAttr],
+    selfClosing: Boolean,
+) extends XmlEvent
+
+final case class CloseTag(name: String) extends XmlEvent
+
+/** Text or CDATA content (the reference routes both to the same handler,
+  * `lib/RdfXmlParser.ts:223-224`, with overwrite — not append — semantics
+  * in the consumer). */
+final case class TextEvent(text: String) extends XmlEvent
+
+final case class DoctypeEvent(content: String) extends XmlEvent
+
+final class XmlSyntaxException(message: String, val line: Int, val column: Int)
+    extends RuntimeException(s"$line:$column: $message")
+
+/** Incremental, namespace-aware XML event scanner with saxes-compatible
+  * behavior for the constructs the reference exercises:
+  *   - DOCTYPE internal-subset `<!ENTITY name "uri">` declarations are
+  *     scraped with the same regex the reference applies
+  *     (`lib/RdfXmlParser.ts:923-928`) and expanded in later text/attributes;
+  *   - CDATA is delivered as a text event (`:224`);
+  *   - comments and processing instructions are skipped;
+  *   - attribute values are XML-normalized (raw whitespace → space) and
+  *     entity-expanded; character references bypass normalization;
+  *   - line/column tracking matches saxes' convention (line 1-based, column
+  *     0-based *after* the construct that completed), so `ParseError`'s
+  *     `column + 1` arithmetic (`lib/ParseError.ts:10`) reproduces.
+  *
+  * Feed with [[write]] chunks and finish with [[end]]; events are pushed to
+  * `handler` as soon as each construct is complete, which is what gives the
+  * automaton the reference's incremental emission behavior
+  * (`test/RdfXmlParser-test.ts:2948-3025`).
+  */
+final class XmlTokenizer(handler: XmlEvent => Unit) {
+
+  private val entityRegex =
+    """(?s)<!ENTITY\s+(\S+)\s+["']([^"']+)["']\s*>""".r
+
+  private val entities = mutable.HashMap[String, String](
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+  )
+
+  /** prefix → uri scopes; one frame per open element. */
+  private var scopes: List[Map[String, String]] =
+    List(Map("xml" -> RdfVocab.XML, "xmlns" -> RdfVocab.XMLNS))
+  private val openNames = mutable.ArrayBuffer.empty[String]
+
+  private var buf: String = ""
+  private var started = false
+  private var closedRoot = false
+  private var seenRoot = false
+
+  var line: Int = 1
+  var column: Int = 0
+
+  def depth: Int = openNames.length
+
+  private def fail(msg: String): Nothing = throw new XmlSyntaxException(msg, line, column)
+
+  /** Advance position counters over buf[from, until). */
+  private def advance(from: Int, until: Int): Unit = {
+    var i = from
+    while (i < until) {
+      if (buf.charAt(i) == '\n') { line += 1; column = 0 } else column += 1
+      i += 1
+    }
+  }
+
+  def write(chunk: String): Unit = {
+    var c = chunk
+    if (!started) {
+      started = true
+      if (c.nonEmpty && c.charAt(0) == '\uFEFF') c = c.substring(1) // BOM
+    }
+    buf += c
+    run()
+  }
+
+  def end(): Unit = {
+    // Trailing text never forms markup; only whitespace is legal outside the
+    // root element.
+    if (buf.nonEmpty) {
+      if (depth == 0) {
+        if (!buf.forall(_.isWhitespace)) fail("Text data outside of root node")
+      } else {
+        emitText(buf, cdata = false)
+      }
+      advance(0, buf.length)
+      buf = ""
+    }
+    if (depth > 0) fail(s"Unclosed tag: ${openNames.last}")
+  }
+
+  private def emitText(raw: String, cdata: Boolean): Unit = {
+    if (depth == 0) {
+      if (!raw.forall(_.isWhitespace)) fail("Text data outside of root node")
+      return
+    }
+    val text = if (cdata) raw else expandEntities(normalizeNewlines(raw), attr = false)
+    handler(TextEvent(text))
+  }
+
+  private def normalizeNewlines(s: String): String =
+    if (s.indexOf('\r') < 0) s else s.replace("\r\n", "\n").replace('\r', '\n')
+
+  /** Expand character and entity references. In attribute context, raw
+    * whitespace normalizes to a single space (char-ref-produced whitespace
+    * does not, per XML 1.0 §3.3.3). */
+  private def expandEntities(s: String, attr: Boolean): String = {
+    if (s.indexOf('&') < 0 && !(attr && hasAttrWs(s))) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi < 0) fail("Unterminated entity reference")
+        val name = s.substring(i + 1, semi)
+        if (name.startsWith("#x") || name.startsWith("#X")) {
+          val cp = java.lang.Integer.parseInt(name.substring(2), 16)
+          if (!isXmlChar(cp)) fail(s"Invalid character reference: &$name;")
+          sb.appendAll(Character.toChars(cp))
+        } else if (name.startsWith("#")) {
+          val cp = java.lang.Integer.parseInt(name.substring(1), 10)
+          if (!isXmlChar(cp)) fail(s"Invalid character reference: &$name;")
+          sb.appendAll(Character.toChars(cp))
+        } else {
+          entities.get(name) match {
+            case Some(v) => sb.append(v)
+            case None    => fail(s"Undefined entity: &$name;")
+          }
+        }
+        i = semi + 1
+      } else if (attr && (ch == '\t' || ch == '\n' || ch == '\r')) {
+        sb.append(' ')
+        i += 1
+      } else {
+        sb.append(ch)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def hasAttrWs(s: String): Boolean =
+    s.indexOf('\t') >= 0 || s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0
+
+  private def isXmlChar(cp: Int): Boolean =
+    cp == 0x9 || cp == 0xA || cp == 0xD || (cp >= 0x20 && cp <= 0xD7FF) ||
+      (cp >= 0xE000 && cp <= 0xFFFD) || (cp >= 0x10000 && cp <= 0x10FFFF)
+
+  /** Consume as much of the buffer as forms complete constructs. */
+  private def run(): Unit = {
+    var progress = true
+    while (progress) {
+      progress = false
+      if (buf.isEmpty) return
+      if (buf.charAt(0) != '<') {
+        val lt = buf.indexOf('<')
+        if (lt < 0) return // incomplete text run — wait for more input
+        val raw = buf.substring(0, lt)
+        emitText(raw, cdata = false)
+        advance(0, lt)
+        buf = buf.substring(lt)
+        progress = true
+      } else if (buf.startsWith("<!--")) {
+        val e = buf.indexOf("-->", 4)
+        if (e < 0) return
+        advance(0, e + 3)
+        buf = buf.substring(e + 3)
+        progress = true
+      } else if (buf.startsWith("<![CDATA[")) {
+        val e = buf.indexOf("]]>", 9)
+        if (e < 0) return
+        val raw = buf.substring(9, e)
+        advance(0, e + 3)
+        buf = buf.substring(e + 3)
+        emitText(normalizeNewlines(raw), cdata = true)
+        progress = true
+      } else if (buf.startsWith("<?")) {
+        val e = buf.indexOf("?>", 2)
+        if (e < 0) return
+        advance(0, e + 2)
+        buf = buf.substring(e + 2)
+        progress = true
+      } else if (buf.length >= 9 && buf.substring(0, 9).equalsIgnoreCase("<!DOCTYPE")) {
+        // Scan to the matching '>' accounting for an internal subset [...].
+        var i = 9
+        var bracket = 0
+        var endPos = -1
+        while (i < buf.length && endPos < 0) {
+          buf.charAt(i) match {
+            case '[' => bracket += 1
+            case ']' => bracket -= 1
+            case '>' => if (bracket <= 0) endPos = i
+            case _   =>
+          }
+          i += 1
+        }
+        if (endPos < 0) return
+        val content = buf.substring(9, endPos)
+        advance(0, endPos + 1)
+        buf = buf.substring(endPos + 1)
+        onDoctype(content)
+        handler(DoctypeEvent(content))
+        progress = true
+      } else if (buf.length >= 2 && buf.charAt(1) == '!') {
+        // Other declarations (<!ELEMENT...> at top level outside DOCTYPE)
+        val e = buf.indexOf('>', 2)
+        if (e < 0) return
+        advance(0, e + 1)
+        buf = buf.substring(e + 1)
+        progress = true
+      } else if (buf.length >= 2 && buf.charAt(1) == '/') {
+        val e = buf.indexOf('>', 2)
+        if (e < 0) return
+        val name = buf.substring(2, e).trim
+        advance(0, e + 1)
+        buf = buf.substring(e + 1)
+        onCloseTag(name)
+        progress = true
+      } else {
+        // Open tag: scan with quote awareness; incomplete → wait.
+        var i = 1
+        var quote: Char = 0
+        var endPos = -1
+        while (i < buf.length && endPos < 0) {
+          val c = buf.charAt(i)
+          if (quote != 0) { if (c == quote) quote = 0 }
+          else if (c == '"' || c == '\'') quote = c
+          else if (c == '>') endPos = i
+          i += 1
+        }
+        if (endPos < 0) {
+          if (buf.length == 1) return
+          if (!isNameStart(buf.charAt(1))) fail("Invalid character in markup")
+          return
+        }
+        val selfClosing = buf.charAt(endPos - 1) == '/'
+        val inner = buf.substring(1, if (selfClosing) endPos - 1 else endPos)
+        advance(0, endPos + 1)
+        buf = buf.substring(endPos + 1)
+        onOpenTag(inner, selfClosing)
+        progress = true
+      }
+    }
+  }
+
+  private def isNameStart(c: Char): Boolean =
+    c.isLetter || c == '_' || c == ':'
+
+  /** Reference entity scraping: `lib/RdfXmlParser.ts:923-928` (same regex,
+    * both quote styles). */
+  private def onDoctype(content: String): Unit = {
+    entityRegex.findAllMatchIn(content).foreach { m =>
+      entities(m.group(1)) = m.group(2)
+    }
+  }
+
+  private def onOpenTag(inner: String, selfClosing: Boolean): Unit = {
+    if (closedRoot) fail("Markup after the root element")
+    // Parse name.
+    var i = 0
+    while (i < inner.length && !inner.charAt(i).isWhitespace) i += 1
+    val name = inner.substring(0, i)
+    if (name.isEmpty || !isNameStart(name.charAt(0))) fail(s"Invalid tag name: $name")
+
+    // Parse attributes (document order preserved).
+    val rawAttrs = mutable.ArrayBuffer.empty[(String, String)]
+    while (i < inner.length) {
+      while (i < inner.length && inner.charAt(i).isWhitespace) i += 1
+      if (i < inner.length) {
+        val eq = inner.indexOf('=', i)
+        if (eq < 0) fail(s"Attribute without value in element $name")
+        val aname = inner.substring(i, eq).trim
+        if (aname.isEmpty) fail(s"Attribute without name in element $name")
+        var j = eq + 1
+        while (j < inner.length && inner.charAt(j).isWhitespace) j += 1
+        if (j >= inner.length || (inner.charAt(j) != '"' && inner.charAt(j) != '\''))
+          fail(s"Unquoted attribute value in element $name")
+        val q = inner.charAt(j)
+        val vEnd = inner.indexOf(q, j + 1)
+        if (vEnd < 0) fail(s"Unterminated attribute value in element $name")
+        val rawValue = inner.substring(j + 1, vEnd)
+        if (rawAttrs.exists(_._1 == aname)) fail(s"Duplicate attribute: $aname")
+        rawAttrs += ((aname, expandEntities(rawValue, attr = true)))
+        i = vEnd + 1
+      }
+    }
+
+    // Build the namespace scope for this element.
+    var scope = scopes.head
+    rawAttrs.foreach { case (aname, v) =>
+      if (aname == "xmlns") scope = scope.updated("", v)
+      else if (aname.startsWith("xmlns:")) scope = scope.updated(aname.substring(6), v)
+    }
+
+    val (ePrefix, eLocal) = splitQName(name)
+    val eUri =
+      if (ePrefix.isEmpty) scope.getOrElse("", "")
+      else scope.getOrElse(ePrefix, fail(s"""unbound namespace prefix: "$ePrefix"."""))
+
+    val attrs = rawAttrs.map { case (aname, v) =>
+      if (aname == "xmlns") XmlAttr(aname, "xmlns", "", RdfVocab.XMLNS, v)
+      else {
+        val (p, l) = splitQName(aname)
+        val uri =
+          if (p.isEmpty) "" // unprefixed attributes are in no namespace
+          else scope.getOrElse(p, fail(s"""unbound namespace prefix: "$p"."""))
+        XmlAttr(aname, p, l, uri, v)
+      }
+    }.toVector
+
+    seenRoot = true
+    scopes = scope :: scopes
+    openNames += name
+    handler(OpenTag(name, ePrefix, eLocal, eUri, attrs, selfClosing))
+    if (selfClosing) {
+      popElement(name)
+    }
+  }
+
+  private def splitQName(qname: String): (String, String) = {
+    val c = qname.indexOf(':')
+    if (c < 0) ("", qname) else (qname.substring(0, c), qname.substring(c + 1))
+  }
+
+  private def onCloseTag(name: String): Unit = {
+    if (openNames.isEmpty) fail(s"Unexpected closing tag: $name")
+    if (openNames.last != name) fail(s"Mismatched closing tag: $name (expected ${openNames.last})")
+    popElement(name)
+  }
+
+  private def popElement(name: String): Unit = {
+    openNames.remove(openNames.length - 1)
+    scopes = scopes.tail
+    handler(CloseTag(name))
+    if (openNames.isEmpty) closedRoot = true
+  }
+}
