@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic synthesis of the Iceberg-shaped transcript table
+  * (BASELINE.json input_hint: conv_id, turn_idx, role, text, tool, ts) from
+  * the driver-provided `documents` parquet. Every value is a pure function
+  * of `doc_id`/`lang`/`source`/`n_chars`, so a DuckDB oracle can reproduce
+  * the expected parse output with plain SQL over the same parquet — that is
+  * the correctness gate for the whole parse pipeline.
+  *
+  * Each document yields two turns in conversation `conv-{doc_id % 64}`:
+  *   - turn 2k   (role by doc_id%3): an RDF/XML payload, template
+  *     `doc_id % 4` (typed nodes / xml:lang+reification / parseType=Resource
+  *     / parseType=Collection — reference features R6-R16 from SURVEY §2.1);
+  *   - turn 2k+1 (role "tool"): prose embedding TPC-H-style entity mentions
+  *     for the NER → linking stages.
+  * where k = rank of doc_id within its conversation.
+  */
+object Transcripts {
+
+  val Base = "http://graft.dev/doc/"
+  val Voc = "http://graft.dev/voc#"
+  val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  val XsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+
+  /** Number of conversations the corpus folds into. */
+  val Convs = 64
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** The four RDF/XML templates as Spark SQL `concat` column expressions.
+    * Single-line documents: whitespace-text handling is covered by the
+    * kernel suite; here byte-determinism is what matters.
+    */
+  private def rdfXmlText = {
+    val head = s"""<?xml version="1.0"?><rdf:RDF xmlns:rdf="$RdfNs" xmlns:g="$Voc" xml:base="$Base">"""
+    val tail = "</rdf:RDF>"
+    val v0 = concat(
+      lit(head),
+      lit("""<g:Document rdf:about="d"""), col("doc_id"), lit("""" g:source=""""), col("source"),
+      lit(""""><g:lang>"""), col("lang"), lit("""</g:lang><g:chars rdf:datatype="""),
+      lit("\"" + XsdInt + "\">"), col("n_chars"),
+      lit("""</g:chars><g:corpus rdf:resource="corpus/"""), col("source"), lit(""""/></g:Document>"""),
+      lit(tail))
+    val v1 = concat(
+      lit(head),
+      lit("""<g:Entry rdf:about="d"""), col("doc_id"),
+      lit(""""><g:title xml:lang=""""), col("lang"), lit("""">Document """), col("doc_id"),
+      lit("""</g:title><g:src rdf:ID="st"""), col("doc_id"),
+      lit("""" rdf:resource="corpus/"""), col("source"), lit(""""/></g:Entry>"""),
+      lit(tail))
+    val v2 = concat(
+      lit(head),
+      lit("""<rdf:Description rdf:about="d"""), col("doc_id"),
+      lit(""""><g:meta rdf:parseType="Resource"><g:chars>"""), col("n_chars"),
+      lit("""</g:chars><g:source>"""), col("source"),
+      lit("""</g:source></g:meta></rdf:Description>"""),
+      lit(tail))
+    val v3 = concat(
+      lit(head),
+      lit("""<rdf:Description rdf:about="d"""), col("doc_id"),
+      lit(""""><g:tags rdf:parseType="Collection"><rdf:Description rdf:about="t/"""), col("lang"),
+      lit(""""/><rdf:Description rdf:about="t/"""), col("source"),
+      lit(""""/></g:tags></rdf:Description>"""),
+      lit(tail))
+    when(col("doc_id") % 4 === 0, v0)
+      .when(col("doc_id") % 4 === 1, v1)
+      .when(col("doc_id") % 4 === 2, v2)
+      .otherwise(v3)
+  }
+
+  /** Prose turn text: deterministic entity mentions + the raw document
+    * text. Mentions alternate between full and short forms of the same
+    * entity so linking has real work to do. */
+  private def proseText = concat(
+    lit("Customer#"), lpad((col("doc_id") % 50).cast("string"), 9, "0"),
+    lit(" reported an issue. "),
+    when(col("doc_id") % 2 === 0,
+      concat(lit("Supplier#"), lpad((col("doc_id") % 10).cast("string"), 9, "0"), lit(" replied. ")))
+      .otherwise(concat(lit("Supplier#"), (col("doc_id") % 10).cast("string"), lit(" replied. "))),
+    col("text"))
+
+  /** The transcript table. Deterministic; schema matches input_hint. */
+  def transcripts(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val withConv = docs
+      .withColumn("conv_id", concat(lit("conv-"), (col("doc_id") % Convs).cast("string")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("doc_id") % Convs).orderBy("doc_id")) - 1)
+    val role = when(col("doc_id") % 3 === 0, "user")
+      .when(col("doc_id") % 3 === 1, "assistant")
+      .otherwise("tool")
+    // 2026-01-01T00:00:00Z epoch seconds; cast(bigint as timestamp) is UTC.
+    val epoch = lit(1767225600L)
+
+    val rdfTurns = withConv.select(
+      col("conv_id"),
+      (col("rn") * 2).cast("int").as("turn_idx"),
+      role.as("role"),
+      rdfXmlText.as("text"),
+      when(col("doc_id") % 3 === 2, "kg-extractor").otherwise(null).as("tool"),
+      (epoch + col("doc_id") * 2).cast("timestamp").as("ts"),
+      col("doc_id"))
+    val proseTurns = withConv.select(
+      col("conv_id"),
+      (col("rn") * 2 + 1).cast("int").as("turn_idx"),
+      lit("tool").as("role"),
+      proseText.as("text"),
+      lit("search").as("tool"),
+      (epoch + col("doc_id") * 2 + 1).cast("timestamp").as("ts"),
+      col("doc_id"))
+    rdfTurns.unionAll(proseTurns)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.rdf
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable
+
+/** Hand-transcribed reference behaviors that the mechanical extractor
+  * skipped: byte-exact XMLLiteral serialization (`test/RdfXmlParser-test.ts:
+  * 2264-2303`), rdf:version error gating (`:2509-2614`), and the per-chunk
+  * incremental-emission contract (`:2948-3025`).
+  */
+class ManualCasesSpec extends AnyFunSuite {
+
+  test("parseType=Literal serializes child XML with inherited namespaces, byte-exact") {
+    val doc = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.org/stuff/1.0/">
+  <rdf:Description rdf:about="http://example.org/item01">
+    <ex:prop rdf:parseType="Literal" xmlns:a="http://example.org/a#">
+      <a:Box required="true">
+        <a:widget size="10" />
+        <a:grommit id="23">abc</a:grommit>
+      </a:Box>
+    </ex:prop>
+  </rdf:Description>
+</rdf:RDF>"""
+    val Right(ts) = RdfXmlParser.parse(doc)
+    assert(ts.length == 1)
+    val Lit(lex, dt, _, _) = ts.head.obj
+    assert(dt == RdfVocab.RDF + "XMLLiteral")
+    val expected = "\n      <a:Box xmlns:a=\"http://example.org/a#\" xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" xmlns:ex=\"http://example.org/stuff/1.0/\" required=\"true\">\n" +
+      "        <a:widget size=\"10\"></a:widget>\n" +
+      "        <a:grommit id=\"23\">abc</a:grommit>\n" +
+      "      </a:Box>\n    "
+    assert(lex == expected)
+  }
+
+  test("parseType=Literal without prefixes") {
+    val doc = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.org/stuff/1.0/">
+  <rdf:Description rdf:about="http://example.org/item01">
+    <ex:prop rdf:parseType="Literal">
+      <Box></Box>
+    </ex:prop>
+  </rdf:Description>
+</rdf:RDF>"""
+    val Right(ts) = RdfXmlParser.parse(doc)
+    val Lit(lex, _, _, _) = ts.head.obj
+    assert(lex == "\n      <Box xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" xmlns:ex=\"http://example.org/stuff/1.0/\"></Box>\n    ")
+  }
+
+  test("unsupported rdf:version errors") {
+    val doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" rdf:version="0.9"/>"""
+    assert(RdfXmlParser.parse(doc) == Left(ParseError("Detected unsupported version: 0.9")))
+  }
+
+  test("unsupported rdf:version tolerated with parseUnsupportedVersions") {
+    val doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" rdf:version="0.9"/>"""
+    assert(RdfXmlParser.parse(doc, ParserOptions(parseUnsupportedVersions = true)).isRight)
+  }
+
+  test("unsupported media-type version parameter errors") {
+    val doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"/>"""
+    assert(RdfXmlParser.parse(doc, ParserOptions(version = Some("9.9"))) ==
+      Left(ParseError("Detected unsupported version as media type parameter: 9.9")))
+    assert(RdfXmlParser.parse(doc, ParserOptions(version = Some("1.2"))).isRight)
+  }
+
+  test("incremental emission contract (chunk-by-chunk)") {
+    val emitted = mutable.ArrayBuffer.empty[Triple]
+    val p = RdfXmlParser.streaming(ParserOptions())(emitted += _)
+
+    def expectCount(chunk: String, n: Int): Unit = {
+      val before = emitted.length
+      p.write(chunk)
+      assert(emitted.length - before == n, s"after chunk <$chunk>")
+    }
+
+    expectCount("", 0)
+    expectCount("<?xml version=\"1.0\"?>", 0)
+    expectCount("""<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.org/stuff/1.0/"
+         xml:base="http://example.org/triples/">""", 0)
+    expectCount("<rdf:Description ", 0)
+    expectCount("ex:title1=\"Title1\" ", 0)
+    expectCount("rdf:about=\"http://www.w3.org/TR/rdf-syntax-grammar\" ", 0)
+    expectCount("ex:title2=\"Title2\"", 0)
+    expectCount(">", 2) // both property-attribute triples at tag completion
+    assert(emitted(0) == TestSupport.quad("http://www.w3.org/TR/rdf-syntax-grammar",
+      "http://example.org/stuff/1.0/title1", "\"Title1\""))
+    assert(emitted(1) == TestSupport.quad("http://www.w3.org/TR/rdf-syntax-grammar",
+      "http://example.org/stuff/1.0/title2", "\"Title2\""))
+    expectCount("<ex:prop ", 0)
+    expectCount(" rdf:resource=\"http://example.org/\" ", 0)
+    expectCount("/>", 1)
+    assert(emitted(2) == TestSupport.quad("http://www.w3.org/TR/rdf-syntax-grammar",
+      "http://example.org/stuff/1.0/prop", "http://example.org/"))
+    expectCount("</rdf:Description>", 0)
+    expectCount("</rdf:RDF>", 0)
+    p.end()
+    assert(emitted.length == 3)
+  }
+
+  test("custom default base IRI from options") {
+    val doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:eg="http://example.org/"><rdf:Description rdf:about="rel"><eg:p rdf:resource="x"/></rdf:Description></rdf:RDF>"""
+    val Right(ts) = RdfXmlParser.parse(doc, ParserOptions(baseIRI = "http://base.org/dir/"))
+    assert(ts == Vector(TestSupport.quad("http://base.org/dir/rel", "http://example.org/p", "http://base.org/dir/x")))
+  }
+}
