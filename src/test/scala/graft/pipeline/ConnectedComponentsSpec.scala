@@ -1,0 +1,48 @@
+package graft.pipeline
+
+class ConnectedComponentsSpec extends SparkSuite {
+
+  /** Single-JVM oracle: union-find. */
+  private def oracle(edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // normalize: component = min member
+    val members = parent.keys.toSeq
+    val byRoot = members.groupBy(find)
+    byRoot.flatMap { case (_, ms) => val mn = ms.min; ms.map(_ -> mn) }
+  }
+
+  test("chain + separate component") {
+    import spark.implicits._
+    val edges = Seq(("x", "y"), ("y", "z"), ("p", "q")).toDF("a", "b")
+    val got = ConnectedComponents.run(edges).as[(String, String)].collect().toMap
+    assert(got == Map("x" -> "x", "y" -> "x", "z" -> "x", "p" -> "p", "q" -> "p"))
+  }
+
+  test("property: matches union-find oracle on random graphs (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val es = List.fill(60)((f"n${rnd.nextInt(40)}%02d", f"n${rnd.nextInt(40)}%02d"))
+      val real = es.filter { case (a, b) => a != b }
+      val got = ConnectedComponents.run(real.toDF("a", "b")).as[(String, String)].collect().toMap
+      assert(got == oracle(real), s"trial $trial")
+    }
+  }
+
+  test("long path converges within iteration budget (log-round behavior)") {
+    import spark.implicits._
+    val n = 64
+    val edges = (0 until n - 1).map(i => (f"v$i%03d", f"v${i + 1}%03d")).toDF("a", "b")
+    val got = ConnectedComponents.run(edges).as[(String, String)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == "v000"))
+  }
+}

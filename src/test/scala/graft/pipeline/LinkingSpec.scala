@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+class LinkingSpec extends SparkSuite {
+
+  private def exactJaccard(a: String, b: String): Double = {
+    def sh(s: String) = s.toLowerCase.sliding(Linking.ShingleLen).toSet
+    val (x, y) = (sh(a), sh(b))
+    if (x.isEmpty && y.isEmpty) 0.0 else x.intersect(y).size.toDouble / x.union(y).size
+  }
+
+  test("jaccardEdges matches pairwise exact jaccard on the mention universe") {
+    import spark.implicits._
+    val mentions = Seq("Supplier#000000003", "Supplier#3", "Customer#000000017",
+      "Customer#000000018", "Supplier#7", "Supplier#000000007").toDF("mention")
+    val got = Linking.jaccardEdges(mentions, 0.5).as[(String, String)].collect().toSet
+    val univ = mentions.as[String].collect()
+    val want = (for {
+      a <- univ; b <- univ if a < b && exactJaccard(a, b) >= 0.5
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(want.contains(("Supplier#000000003", "Supplier#3")))
+  }
+
+  test("MinHash-LSH candidates contain every high-jaccard pair (recall) on real mentions") {
+    import spark.implicits._
+    val univ = Ner.mentionUniverse(Transcripts.transcripts(spark, sfDir)).cache()
+    val lsh = Linking.lshCandidates(univ).as[(String, String)].collect().toSet
+    val exact = Linking.jaccardEdges(univ, 0.5).as[(String, String)].collect().toSet
+    val missed = exact -- lsh
+    // With 8 bands × 4 rows, P(candidate) at j=0.5 is ~1-(1-0.5^4)^8 ≈ 0.40;
+    // but our linked variants sit well above 0.5 — require >=90% recall at
+    // j>=0.7 and full recall at j>=0.85.
+    val strong = exact.filter { case (a, b) => exactJaccard(a, b) >= 0.85 }
+    assert((strong -- lsh).isEmpty, s"missed strong pairs: ${strong -- lsh}")
+    assert(missed.size < exact.size, "LSH should find at least one exact pair")
+  }
+
+  test("MinHash signature is deterministic and order-insensitive") {
+    val hs = Seq("abc", "bcd", "cde").map(Linking.fnv1a)
+    val s1 = Linking.signatureOf(hs)
+    val s2 = Linking.signatureOf(hs.reverse)
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.length == Linking.NumHashes)
+  }
+
+  test("property: signature similarity approximates jaccard (seeded)") {
+    val rnd = new scala.util.Random(7)
+    def words(n: Int) = List.fill(n)(rnd.alphanumeric.filter(_.isLower).take(3 + rnd.nextInt(6)).mkString)
+    (1 to 30).foreach { trial =>
+      val shared = words(rnd.nextInt(20))
+      val a = (shared ++ words(5 + rnd.nextInt(15))).flatMap(_.sliding(3)).map(Linking.fnv1a).toSet
+      val b = (shared ++ words(5 + rnd.nextInt(15))).flatMap(_.sliding(3)).map(Linking.fnv1a).toSet
+      if (a.nonEmpty && b.nonEmpty) {
+        val j = a.intersect(b).size.toDouble / a.union(b).size
+        val sa = Linking.signatureOf(a)
+        val sb = Linking.signatureOf(b)
+        val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / Linking.NumHashes
+        assert(math.abs(est - j) < 0.45, s"trial $trial: est=$est j=$j")
+      }
+    }
+  }
+
+  test("broadcast dictionary linking resolves short and padded forms to the same entity") {
+    import spark.implicits._
+    val mentions = Seq("Supplier#3", "Supplier#000000003", "Customer#000000017").toDF("mention")
+    val customers = Seq(("Customer#000000017")).toDF("c_name")
+    val suppliers = Seq(("Supplier#000000003")).toDF("s_name")
+    val linked = Linking.linkToDictionary(mentions, customers, suppliers)
+      .as[(String, String)].collect().toSet
+    assert(linked == Set(
+      ("Supplier#3", "Supplier#000000003"),
+      ("Supplier#000000003", "Supplier#000000003"),
+      ("Customer#000000017", "Customer#000000017")))
+  }
+}
