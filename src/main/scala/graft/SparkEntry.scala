@@ -77,6 +77,103 @@ object SparkEntry {
         .filter(col("error").isNull)
         .groupBy("subj")
         .agg(count(lit(1)).as("degree"), countDistinct(col("pred")).as("n_pred"))),
+
+    // ---------------- dedup / similarity / text analysis (documents table)
+
+    "dedup_exact" -> ((s, dir) =>
+      graft.ops.Dedup.exactClusters(s.read.parquet(s"$dir/documents.parquet"))),
+
+    "dedup_ngram_pairs" -> ((s, dir) =>
+      graft.ops.Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), 0.6)),
+
+    // scale paths — rows-only driver check; ScalaTest asserts agreement
+    "dedup_minhash" -> ((s, dir) =>
+      graft.ops.Dedup.minhashClusters(s.read.parquet(s"$dir/documents.parquet"))),
+    "dedup_simhash" -> ((s, dir) =>
+      graft.ops.Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"))),
+
+    "sim_topk" -> ((s, dir) =>
+      graft.ops.Similarity.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
+    "sim_lsh_topk" -> ((s, dir) => // approximate — rows-only
+      graft.ops.Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
+    "sim_neardup" -> ((s, dir) => // 0.35 ~ p99.9 of this corpus: non-empty but selective
+      graft.ops.Similarity.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35, 200)),
+
+    "text_quality" -> ((s, dir) =>
+      graft.ops.TextAnalysis.qualityStats(s.read.parquet(s"$dir/documents.parquet"))),
+    "text_langid" -> ((s, dir) =>
+      graft.ops.TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet"))),
+    "text_tokens" -> ((s, dir) =>
+      graft.ops.TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))),
+    "text_fingerprint" -> ((s, dir) =>
+      graft.ops.TextAnalysis.fingerprints(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // ---------------- classic relational operators (TPC-H-ish tables)
+
+    "q1_agg" -> ((s, dir) => {
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          count(lit(1)).as("n"),
+          max(col("l_shipdate")).as("max_ship"))
+    }),
+
+    "q3_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      c.filter(col("c_mktsegment") === "BUILDING")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,2)")).as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q_window" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+      o.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    }),
+
+    "q_topk" -> ((s, dir) =>
+      s.read.parquet(s"$dir/part.parquet")
+        .orderBy(desc("p_retailprice"), col("p_partkey"))
+        .limit(10)
+        .select("p_partkey", "p_name", "p_brand")),
+
+    "q_setop" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val o = s.read.parquet(s"$dir/orders.parquet").select(col("o_custkey").as("k"))
+      o.except(c)
+    }),
+
+    "q_broadcast" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n"))
+    }),
+
+    "q_sessions" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val byUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts", "event_id")
+      e.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull
+            .or(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 600), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
   )
 
   // ------------------------------------------------------------------ oracles
@@ -199,5 +296,93 @@ mk AS (SELECT mention, split_part(mention, '#', 1) AS etype, CAST(split_part(men
 SELECT mention, entity_name FROM mk JOIN dk USING (etype, eid)""",
     "kg_adjacency" ->
       s"$expectedTriplesCte SELECT subj, COUNT(*) AS degree, COUNT(DISTINCT pred) AS n_pred FROM expected GROUP BY subj",
+
+    // ---------------- dedup / text ops
+
+    "dedup_exact" ->
+      "SELECT md5(text) AS text_md5, COUNT(*) AS n, MIN(doc_id) AS rep FROM documents GROUP BY 1",
+
+    "dedup_ngram_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], ' ') for i in generate_series(1, greatest(len(w)-4, 0))])) AS shingle FROM w),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+ints AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS cnt FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT a, b FROM ints JOIN sz sa ON sa.doc_id = ints.a JOIN sz sb ON sb.doc_id = ints.b WHERE cnt*1.0/(sa.sz + sb.sz - cnt) >= 0.6""",
+
+    "sim_topk" ->
+      """WITH q AS (SELECT vec_id AS q, embedding AS qe FROM embeddings WHERE vec_id < 16),
+s AS (SELECT q.q, e.vec_id AS neighbor, round(list_cosine_similarity(q.qe, e.embedding), 9) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q),
+r AS (SELECT q, neighbor, row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rk FROM s)
+SELECT q, neighbor, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""",
+
+    "sim_neardup" ->
+      """SELECT x.vec_id AS a, y.vec_id AS b FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE x.vec_id < 200 AND y.vec_id < 200 AND list_cosine_similarity(x.embedding, y.embedding) >= 0.35""",
+
+    "text_quality" ->
+      """SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars,
+CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types,
+CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS INTEGER) AS n_stop,
+CAST(list_max(list_transform(string_split(text, ' '), t -> len(t))) AS INTEGER) AS max_token_len
+FROM documents""",
+
+    "text_langid" ->
+      """WITH s AS (SELECT doc_id,
+len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'of' OR t = 'and')) AS s_en,
+len(list_filter(string_split(text, ' '), t -> t = 'der' OR t = 'und' OR t = 'die')) AS s_de,
+len(list_filter(string_split(text, ' '), t -> t = 'el' OR t = 'los' OR t = 'las')) AS s_es,
+len(list_filter(string_split(text, ' '), t -> t = 'le' OR t = 'les' OR t = 'et')) AS s_fr
+FROM documents)
+SELECT doc_id,
+CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+     WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+     WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted,
+CAST(greatest(s_en, s_de, s_es, s_fr) AS INTEGER) AS votes
+FROM s""",
+
+    "text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS bpeish_tokens
+FROM documents""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents""",
+
+    // ---------------- relational
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+COUNT(*) AS n, MAX(l_shipdate) AS max_ship
+FROM lineitem GROUP BY 1, 2""",
+
+    "q3_join" ->
+      """SELECT o_orderkey, SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM (
+SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) t
+WHERE rk <= 3""",
+
+    "q_topk" ->
+      "SELECT p_partkey, p_name, p_brand FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10",
+
+    "q_setop" ->
+      "SELECT o_custkey AS k FROM orders EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+
+    "q_broadcast" ->
+      """SELECT r_name, COUNT(*) AS n FROM customer
+JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1""",
+
+    "q_sessions" ->
+      """WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)
+SELECT user_id, CAST(SUM(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+COUNT(*) AS n_events FROM x GROUP BY 1""",
   )
 }

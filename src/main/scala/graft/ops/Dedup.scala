@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{ConnectedComponents, Linking}
+
+/** Document deduplication operators for a training-data pipeline, over the
+  * `documents` table (doc_id, text, …). Exact and n-gram paths are pure
+  * Catalyst (DuckDB-oracle-able); MinHash and SimHash are the scale paths
+  * verified against the exact paths in ScalaTest.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on the full text. (hash, n, rep) per
+    * equivalence class — `rep` = min doc_id is the canonical survivor. */
+  def exactClusters(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
+
+  /** Word 5-gram shingles of a text column (pure Catalyst). */
+  def wordShingles(c: String, n: Int = 5): Column =
+    expr(s"array_distinct(transform(sequence(1, greatest(size(split($c, ' ')) - ${n - 1}, 0)), i -> concat_ws(' ', slice(split($c, ' '), i, $n))))")
+
+  /** Near-dup candidate pairs by exact word-shingle Jaccard >= threshold,
+    * blocked by the shared-shingle inverted index (no O(n²) enumeration). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(wordShingles("text")).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .filter(col("cnt") * lit(1.0) / (col("sza") + col("szb") - col("cnt")) >= threshold)
+      .select("a", "b")
+  }
+
+  /** MinHash-LSH near-dup clusters (scale path): shingle → signature (typed
+    * Aggregator) → banded buckets → candidate pairs → connected components.
+    * Returns (doc_id, cluster) where cluster = min doc_id of the near-dup
+    * class. */
+  def minhashClusters(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id"), explode(wordShingles("text")).as("shingle"))
+      .as[(Long, String)]
+      .map { case (id, s) => (id.toString, Linking.fnv1a(s)) }
+      .groupByKey(_._1)
+      .agg(Linking.MinHashAgg.toColumn.name("sig"))
+      .toDF("doc_id", "sig")
+    val bandCols = (0 until Linking.Bands).map { b =>
+      val parts = (0 until Linking.RowsPerBand)
+        .map(r => element_at(col("sig"), b * Linking.RowsPerBand + r + 1).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(":", parts: _*)).as("bandKey"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bandKey"))
+    val pairs = buckets.as("x").join(buckets.as("y"), Seq("band", "bandKey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    ConnectedComponents.run(pairs)
+      .select(col("node").as("doc_id"), col("component").as("cluster"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens (typed map — bit arithmetic in
+    * the JVM). Near-dup when hamming distance is small. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = new Array[Int](64)
+        text.split(' ').foreach { tok =>
+          val h = Linking.fnv1a(tok)
+          var b = 0
+          while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+        (id, sig)
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band blocking, then exact hamming
+    * verification (`bit_count` is codegen'd). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: quality stats,
+  * language-ID heuristic, token counting, and document fingerprinting.
+  * Every output column is an integer or hash — deliberately no floating
+  * point in driver-compared results. All pure Catalyst (oracle-able).
+  */
+object TextAnalysis {
+
+  /** Per-document quality stats: lengths, token counts, stopword counts,
+    * type/token info — the usual filter features. */
+  def qualityStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(split(col("text"), " ")).as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).as("n_types"),
+      expr("size(filter(split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and'))").as("n_stop"),
+      expr("aggregate(split(text, ' '), 0, (acc, t) -> greatest(acc, length(t)))").as("max_token_len"),
+    )
+
+  /** Marker-word language-ID vote. Deterministic argmax with fixed tie
+    * order (en > de > es > fr); 'und' when no marker hits. */
+  def langId(docs: DataFrame): DataFrame = {
+    def score(markers: Seq[String]) = {
+      val cond = markers.map(m => s"t = '$m'").mkString(" OR ")
+      expr(s"size(filter(split(text, ' '), t -> $cond))")
+    }
+    val scored = docs.select(
+      col("doc_id"),
+      score(Seq("the", "of", "and")).as("s_en"),
+      score(Seq("der", "und", "die")).as("s_de"),
+      score(Seq("el", "los", "las")).as("s_es"),
+      score(Seq("le", "les", "et")).as("s_fr"),
+    )
+    scored.select(
+      col("doc_id"),
+      when(greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")) === 0, "und")
+        .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr").as("predicted"),
+      greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")).as("votes"))
+  }
+
+  /** BPE-ish token counting: alpha runs, digit runs, and single non-space
+    * symbols each count as one token. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("bpeish_tokens"),
+    )
+
+  /** Document fingerprint: md5 of the whitespace-collapsed, lowercased
+    * text — the exact-dedup key that survives formatting noise. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
+    )
+}
