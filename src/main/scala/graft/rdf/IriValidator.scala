@@ -17,10 +17,33 @@ import java.util.regex.Pattern
   */
 object IriValidator {
 
-  private val pragmaticPattern: Pattern =
-    Pattern.compile("^[A-Za-z][\\d+\\-.A-Za-z]*:[^\\x00-\\x20\"<>\\\\^`{|}]*$")
-
-  def pragmaticValid(iri: String): Boolean = pragmaticPattern.matcher(iri).matches()
+  /** Equivalent to `^[A-Za-z][\d+\-.A-Za-z]*:[^\x00-\x20"<>\\^`{|}]*$` but
+    * as a direct char scan — this runs for every IRI of every triple, and
+    * the regex engine's per-char predicate lambdas dominated the parse
+    * profile. */
+  def pragmaticValid(iri: String): Boolean = {
+    val n = iri.length
+    if (n == 0) return false
+    val c0 = iri.charAt(0)
+    if (!((c0 >= 'A' && c0 <= 'Z') || (c0 >= 'a' && c0 <= 'z'))) return false
+    var i = 1
+    var sawColon = false
+    while (i < n && !sawColon) {
+      val c = iri.charAt(i)
+      if (c == ':') sawColon = true
+      else if (!((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+                 (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.')) return false
+      i += 1
+    }
+    if (!sawColon) return false
+    while (i < n) {
+      val c = iri.charAt(i)
+      if (c <= ' ' || c == '"' || c == '<' || c == '>' || c == '\\' ||
+          c == '^' || c == '`' || c == '{' || c == '|' || c == '}') return false
+      i += 1
+    }
+    true
+  }
 
   private val ncNameStartCharClass =
     "A-Za-z\\xC0-\\xD6\\xD8-\\xF6\\x{F8}-\\x{2FF}\\x{370}-\\x{37D}" +

@@ -56,14 +56,23 @@ final class XmlSyntaxException(message: String, val line: Int, val column: Int)
   * automaton the reference's incremental emission behavior
   * (`test/RdfXmlParser-test.ts:2948-3025`).
   */
-final class XmlTokenizer(handler: XmlEvent => Unit) {
-
-  private val entityRegex =
+object XmlTokenizer {
+  /** Reference entity-scrape regex (`lib/RdfXmlParser.ts:924`) — compiled
+    * once: a per-document Pattern.compile dominates the parse profile and
+    * its lambda-linkage machinery wrecks multi-core scaling. */
+  private val EntityRegex =
     """(?s)<!ENTITY\s+(\S+)\s+["']([^"']+)["']\s*>""".r
 
-  private val entities = mutable.HashMap[String, String](
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
-  )
+  private val DefaultEntities: Map[String, String] =
+    Map("amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'")
+}
+
+final class XmlTokenizer(handler: XmlEvent => Unit) {
+  import XmlTokenizer.{EntityRegex, DefaultEntities}
+
+  // Copy-on-write: almost no document declares entities, so the default
+  // table is shared and only DOCTYPE processing materializes a local map.
+  private var entities: Map[String, String] = DefaultEntities
 
   /** prefix → uri scopes; one frame per open element. */
   private var scopes: List[Map[String, String]] =
@@ -71,6 +80,7 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
   private val openNames = mutable.ArrayBuffer.empty[String]
 
   private var buf: String = ""
+  private var pos: Int = 0 // cursor into buf — consumed prefix is NOT copied away
   private var started = false
   private var closedRoot = false
   private var seenRoot = false
@@ -97,21 +107,27 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
       started = true
       if (c.nonEmpty && c.charAt(0) == '\uFEFF') c = c.substring(1) // BOM
     }
-    buf += c
+    // Batch fast path: when the previous buffer is fully consumed the new
+    // chunk becomes the buffer without any copying (one-shot whole-document
+    // parses never copy the input at all).
+    if (pos >= buf.length) { buf = c; pos = 0 }
+    else if (c.nonEmpty) { buf = buf.substring(pos) + c; pos = 0 }
     run()
   }
 
   def end(): Unit = {
     // Trailing text never forms markup; only whitespace is legal outside the
     // root element.
-    if (buf.nonEmpty) {
+    if (pos < buf.length) {
+      val rest = buf.substring(pos)
       if (depth == 0) {
-        if (!buf.forall(_.isWhitespace)) fail("Text data outside of root node")
+        if (!rest.forall(_.isWhitespace)) fail("Text data outside of root node")
       } else {
-        emitText(buf, cdata = false)
+        emitText(rest, cdata = false)
       }
-      advance(0, buf.length)
+      advance(pos, buf.length)
       buf = ""
+      pos = 0
     }
     if (depth > 0) fail(s"Unclosed tag: ${openNames.last}")
   }
@@ -174,43 +190,46 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
     cp == 0x9 || cp == 0xA || cp == 0xD || (cp >= 0x20 && cp <= 0xD7FF) ||
       (cp >= 0xE000 && cp <= 0xFFFD) || (cp >= 0x10000 && cp <= 0x10FFFF)
 
-  /** Consume as much of the buffer as forms complete constructs. */
+  /** Consume as much of the buffer as forms complete constructs. The
+    * cursor-based scan never copies the unconsumed tail (hot-path
+    * allocation discipline: the parse is run millions of times per
+    * executor). */
   private def run(): Unit = {
     var progress = true
     while (progress) {
       progress = false
-      if (buf.isEmpty) return
-      if (buf.charAt(0) != '<') {
-        val lt = buf.indexOf('<')
+      if (pos >= buf.length) return
+      if (buf.charAt(pos) != '<') {
+        val lt = buf.indexOf('<', pos)
         if (lt < 0) return // incomplete text run — wait for more input
-        val raw = buf.substring(0, lt)
+        val raw = buf.substring(pos, lt)
         emitText(raw, cdata = false)
-        advance(0, lt)
-        buf = buf.substring(lt)
+        advance(pos, lt)
+        pos = lt
         progress = true
-      } else if (buf.startsWith("<!--")) {
-        val e = buf.indexOf("-->", 4)
+      } else if (buf.startsWith("<!--", pos)) {
+        val e = buf.indexOf("-->", pos + 4)
         if (e < 0) return
-        advance(0, e + 3)
-        buf = buf.substring(e + 3)
+        advance(pos, e + 3)
+        pos = e + 3
         progress = true
-      } else if (buf.startsWith("<![CDATA[")) {
-        val e = buf.indexOf("]]>", 9)
+      } else if (buf.startsWith("<![CDATA[", pos)) {
+        val e = buf.indexOf("]]>", pos + 9)
         if (e < 0) return
-        val raw = buf.substring(9, e)
-        advance(0, e + 3)
-        buf = buf.substring(e + 3)
+        val raw = buf.substring(pos + 9, e)
+        advance(pos, e + 3)
+        pos = e + 3
         emitText(normalizeNewlines(raw), cdata = true)
         progress = true
-      } else if (buf.startsWith("<?")) {
-        val e = buf.indexOf("?>", 2)
+      } else if (buf.startsWith("<?", pos)) {
+        val e = buf.indexOf("?>", pos + 2)
         if (e < 0) return
-        advance(0, e + 2)
-        buf = buf.substring(e + 2)
+        advance(pos, e + 2)
+        pos = e + 2
         progress = true
-      } else if (buf.length >= 9 && buf.substring(0, 9).equalsIgnoreCase("<!DOCTYPE")) {
+      } else if (buf.regionMatches(true, pos, "<!DOCTYPE", 0, 9)) {
         // Scan to the matching '>' accounting for an internal subset [...].
-        var i = 9
+        var i = pos + 9
         var bracket = 0
         var endPos = -1
         while (i < buf.length && endPos < 0) {
@@ -223,30 +242,30 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
           i += 1
         }
         if (endPos < 0) return
-        val content = buf.substring(9, endPos)
-        advance(0, endPos + 1)
-        buf = buf.substring(endPos + 1)
+        val content = buf.substring(pos + 9, endPos)
+        advance(pos, endPos + 1)
+        pos = endPos + 1
         onDoctype(content)
         handler(DoctypeEvent(content))
         progress = true
-      } else if (buf.length >= 2 && buf.charAt(1) == '!') {
+      } else if (pos + 1 < buf.length && buf.charAt(pos + 1) == '!') {
         // Other declarations (<!ELEMENT...> at top level outside DOCTYPE)
-        val e = buf.indexOf('>', 2)
+        val e = buf.indexOf('>', pos + 2)
         if (e < 0) return
-        advance(0, e + 1)
-        buf = buf.substring(e + 1)
+        advance(pos, e + 1)
+        pos = e + 1
         progress = true
-      } else if (buf.length >= 2 && buf.charAt(1) == '/') {
-        val e = buf.indexOf('>', 2)
+      } else if (pos + 1 < buf.length && buf.charAt(pos + 1) == '/') {
+        val e = buf.indexOf('>', pos + 2)
         if (e < 0) return
-        val name = buf.substring(2, e).trim
-        advance(0, e + 1)
-        buf = buf.substring(e + 1)
+        val name = buf.substring(pos + 2, e).trim
+        advance(pos, e + 1)
+        pos = e + 1
         onCloseTag(name)
         progress = true
       } else {
-        // Open tag: scan with quote awareness; incomplete → wait.
-        var i = 1
+        // Open tag: scan with quote awareness; incomplete -> wait.
+        var i = pos + 1
         var quote: Char = 0
         var endPos = -1
         while (i < buf.length && endPos < 0) {
@@ -257,14 +276,14 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
           i += 1
         }
         if (endPos < 0) {
-          if (buf.length == 1) return
-          if (!isNameStart(buf.charAt(1))) fail("Invalid character in markup")
+          if (buf.length - pos == 1) return
+          if (!isNameStart(buf.charAt(pos + 1))) fail("Invalid character in markup")
           return
         }
         val selfClosing = buf.charAt(endPos - 1) == '/'
-        val inner = buf.substring(1, if (selfClosing) endPos - 1 else endPos)
-        advance(0, endPos + 1)
-        buf = buf.substring(endPos + 1)
+        val inner = buf.substring(pos + 1, if (selfClosing) endPos - 1 else endPos)
+        advance(pos, endPos + 1)
+        pos = endPos + 1
         onOpenTag(inner, selfClosing)
         progress = true
       }
@@ -277,8 +296,8 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
   /** Reference entity scraping: `lib/RdfXmlParser.ts:923-928` (same regex,
     * both quote styles). */
   private def onDoctype(content: String): Unit = {
-    entityRegex.findAllMatchIn(content).foreach { m =>
-      entities(m.group(1)) = m.group(2)
+    EntityRegex.findAllMatchIn(content).foreach { m =>
+      entities = entities.updated(m.group(1), m.group(2))
     }
   }
 
