@@ -108,6 +108,12 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       graft.ops.TextAnalysis.fingerprints(s.read.parquet(s"$dir/documents.parquet"))),
 
+    // multimodal binary-column plumbing (decode stubbed; schema/batching real)
+    "mm_features" -> ((s, dir) =>
+      graft.ops.Multimodal.extractFeatures(
+        graft.ops.Multimodal.syntheticMedia(s.read.parquet(s"$dir/documents.parquet")))
+        .select("doc_id", "kind", "n_bytes", "thumb_w", "thumb_h")),
+
     // ---------------- classic relational operators (TPC-H-ish tables)
 
     "q1_agg" -> ((s, dir) => {
@@ -349,6 +355,17 @@ FROM documents""",
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents""",
+
+    "mm_features" ->
+      """WITH m AS (SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(strlen(text) AS INTEGER) AS n_bytes,
+  CAST(doc_id % 640 + 64 AS INTEGER) AS w, CAST(doc_id % 480 + 48 AS INTEGER) AS h
+FROM documents)
+SELECT doc_id, kind, n_bytes,
+  CAST(CASE WHEN w >= h THEN 64 ELSE greatest(1, CAST(round(64.0 * w / h) AS INTEGER)) END AS INTEGER) AS thumb_w,
+  CAST(CASE WHEN w >= h THEN greatest(1, CAST(round(64.0 * h / w) AS INTEGER)) ELSE 64 END AS INTEGER) AS thumb_h
+FROM m""",
 
     // ---------------- relational
 

@@ -45,25 +45,34 @@ object Similarity {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bucket LSH: each vector gets an `nPlanes`-bit signature; vectors
-    * sharing a bucket are candidates. Scale path: the candidate join is an
-    * equi-join on the bucket key instead of a cross join. Output matches
-    * [[bruteTopK]] (approximate — ScalaTest asserts recall). */
-  def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int, nPlanes: Int = 8): DataFrame = {
+  /** Multi-table random-hyperplane LSH: `tables` independent hash tables of
+    * `bitsPerTable` sign bits each; a pair is a candidate if it collides in
+    * ANY table (the OR-construction — a single wide bucket has near-zero
+    * recall on near-orthogonal data). The candidate join is an equi-join on
+    * (table, bucket) instead of a cross join — the scale path. Output
+    * matches [[bruteTopK]] (approximate; ScalaTest asserts recall). */
+  def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              tables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
     val dim = embeddings.selectExpr("size(first(embedding))").first().getInt(0)
-    val ps = planes(nPlanes, dim)
-    val planeCols = ps.zipWithIndex.map { case (p, i) =>
-      val lits = array(p.map(v => lit(v)): _*)
-      when(dot(col("embedding"), lits) >= 0, lit(1L << i)).otherwise(lit(0L)).as(s"b$i")
+    val ps = planes(tables * bitsPerTable, dim)
+    val bucketCols = (0 until tables).map { t =>
+      val bits = (0 until bitsPerTable).map { b =>
+        val p = ps(t * bitsPerTable + b)
+        when(dot(col("embedding"), array(p.map(v => lit(v)): _*)) >= 0, lit(1 << b)).otherwise(lit(0))
+      }
+      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
     }
-    val withSig = embeddings.select((col("vec_id") +: col("embedding") +: planeCols.toSeq): _*)
-      .withColumn("bucket", (0 until nPlanes).map(i => col(s"b$i")).reduce(_ + _))
-      .select("vec_id", "embedding", "bucket")
-    val queries = withSig.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q"), col("embedding").as("qe"), col("bucket"))
-    val scored = withSig.join(broadcast(queries), Seq("bucket"))
+    val withBuckets = embeddings
+      .select(col("vec_id"), col("embedding"), explode(array(bucketCols: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.table"), col("tb.bucket"))
+    val queries = withBuckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q"), col("embedding").as("qe"), col("table"), col("bucket"))
+    val candidates = withBuckets.join(broadcast(queries), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("q"))
-      .select(col("q"), col("vec_id").as("neighbor"), round(cosine(col("qe"), col("embedding")), 9).as("cos"))
+      .select(col("q"), col("vec_id").as("neighbor"), col("qe"), col("embedding"))
+      .distinct() // OR over tables: dedupe collisions
+    val scored = candidates
+      .select(col("q"), col("neighbor"), round(cosine(col("qe"), col("embedding")), 9).as("cos"))
     val w = Window.partitionBy("q").orderBy(desc("cos"), col("neighbor"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSuite {
+
+  test("parse error channel: bad documents become error rows, not failures") {
+    import spark.implicits._
+    val turns = Seq(
+      ("c1", 0, """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"><rdf:Description rdf:about="http://e.org/s" rdf:nodeID="x"/></rdf:RDF>"""),
+      ("c1", 1, """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://e.org/"><rdf:Description rdf:about="http://e.org/s"><ex:p>v</ex:p></rdf:Description></rdf:RDF>"""),
+      ("c1", 2, "<not-xml"),
+    ).toDF("conv_id", "turn_idx", "text")
+    val rows = ParseStage.parseTurns(turns).collect()
+    val errors = rows.filter(_.error != null)
+    val ok = rows.filter(_.error == null)
+    assert(errors.length == 2)
+    assert(errors.map(_.turn_idx).toSet == Set(0, 2))
+    assert(errors.find(_.turn_idx == 0).get.error.startsWith("Only one of rdf:about"))
+    assert(ok.map(_.obj) sameElements Array("\"v\""))
+  }
+
+  test("blank node relabeling is canonical and globally unique") {
+    import spark.implicits._
+    val doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://e.org/"><rdf:Description><ex:p>v</ex:p></rdf:Description></rdf:RDF>"""
+    val turns = Seq(("c1", 0, doc), ("c1", 2, doc), ("c2", 0, doc)).toDF("conv_id", "turn_idx", "text")
+    val subjects = ParseStage.parseTurns(turns).collect().map(_.subj).toSet
+    assert(subjects == Set("_:c1_0_b0", "_:c1_2_b0", "_:c2_0_b0"))
+  }
+
+  test("conversation reconstruction flags non-dense turn indexes") {
+    import spark.implicits._
+    val turns = Seq(
+      ("c1", 0, "user", "a", null, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+      ("c1", 1, "user", "b", null, java.sql.Timestamp.valueOf("2026-01-01 00:00:01")),
+      ("c2", 0, "user", "c", null, java.sql.Timestamp.valueOf("2026-01-01 00:00:02")),
+      ("c2", 5, "user", "d", null, java.sql.Timestamp.valueOf("2026-01-01 00:00:03")),
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val rec = ParseStage.reconstructConversations(turns)
+    assert(rec.filter(col("dense")).count() == 3)
+    assert(rec.filter(!col("dense")).select("conv_id", "turn_idx").as[(String, Int)].collect().toSet == Set(("c2", 5)))
+  }
+
+  test("snapshot stages are resumable: second run reuses, compute not re-executed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_snap").toString
+    var computes = 0
+    def compute = { computes += 1; Seq((1, "a"), (2, "b")).toDF("id", "v") }
+    val (df1, r1) = Materialize.snapshotStage(spark, "s", dir)(compute)
+    assert(!r1.reused && r1.rows == 2 && computes == 1)
+    val (df2, r2) = Materialize.snapshotStage(spark, "s", dir)(compute)
+    assert(r2.reused && computes == 1)
+    assert(df2.collect().map(_.getInt(0)).sorted sameElements Array(1, 2))
+    assert(Files.readString(java.nio.file.Paths.get(dir, "_meta", "manifest.json")).contains("\"rows\":2"))
+  }
+
+  test("KgPipeline end-to-end + resume") {
+    val out = Files.createTempDirectory("graft_kg").toString
+    val stats = KgPipeline.run(spark, sfDir, out)
+    assert(stats.turns == 1000)
+    assert(stats.triples > 2500) // parsed triples + sameAs triples
+    assert(stats.parseErrors == 0)
+    assert(stats.mentions == 1000)
+    assert(stats.entities > 0 && stats.entities < 70)
+    assert(stats.reusedStages == 0)
+    val stats2 = KgPipeline.run(spark, sfDir, out)
+    assert(stats2.reusedStages == 5)
+    assert(stats2.triples == stats.triples)
+    // materialized layout: pred_bucket partition dirs exist
+    val graphDirs = new java.io.File(s"$out/graph/data").listFiles().map(_.getName).filter(_.startsWith("pred_bucket="))
+    assert(graphDirs.nonEmpty)
+  }
+
+  test("salted join equals plain join") {
+    import spark.implicits._
+    val big = (1 to 1000).map(i => (s"k${i % 3}", s"v$i")).toDF("key", "payload")
+    val small = Seq(("k0", "x"), ("k1", "y"), ("k2", "z")).toDF("key", "dim")
+    val plain = big.join(small, "key").select("key", "payload", "dim").collect().toSet
+    val salted = Skew.saltedJoin(big, small, "key", "payload", 8).select("key", "payload", "dim").collect().toSet
+    assert(plain == salted)
+    val hot = Skew.hotKeys(big, "key", 2).collect().map(_.getString(0))
+    assert(hot.length == 2)
+  }
+}
