@@ -87,7 +87,7 @@ object Bench {
     // cluster each executor brings its own memory channels, so the
     // within-regime ratio is the honest analogue of N→4N executors.
     val n = math.max(2, cores / 8)
-    val ampl = sys.env.getOrElse("SPARK_GRAFT_AMPL", "800").toInt
+    val ampl = sys.env.getOrElse("SPARK_GRAFT_AMPL", "1600").toInt
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
 
     val sparkPrep = session(cpus)
@@ -96,13 +96,13 @@ object Bench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
-    // Warmup (JIT-compiles the parse hot path) + min-of-3 per level: local
+    // Warmup (JIT-compiles the parse hot path) + min-of-5 per level: local
     // microbenchmarks are noisy and min is the standard throughput read.
     def measure(cpus: Int, warm: Boolean): (Long, Double) = {
       val s = session(cpus)
       try {
         if (warm) parseCount(s, corpusDir)
-        val runs = (1 to 3).map(_ => timed(parseCount(s, corpusDir)))
+        val runs = (1 to 5).map(_ => timed(parseCount(s, corpusDir)))
         (runs.head._1, runs.map(_._2).min)
       } finally {
         s.stop()

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import graft.SparkEntry
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan hygiene: the properties that make these operators behave
+  * at 100 TB are asserted from the actual optimized plans, not hoped for —
+  * filter pushdown into the parquet scan, broadcast joins where a side is
+  * small, partial aggregation, and a shuffle-free parse path.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q3_join: dimension filter is pushed into the parquet scan") {
+    val p = plan(q("q3_join"))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("q_broadcast: both dims join as broadcast hash joins") {
+    val p = plan(q("q_broadcast"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("parse path is shuffle-free (no Exchange below the mapPartitions)") {
+    // parseTurns over a stored transcript table: scan → project → parse.
+    import spark.implicits._
+    val stored = Seq(("c1", 0, "<x/>")).toDF("conv_id", "turn_idx", "text")
+    val p = plan(ParseStage.parseTurns(stored).toDF())
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("parse stage prunes columns before the opaque typed map") {
+    // Reading from a parquet table with extra columns: the scan must read
+    // only conv_id, turn_idx, text.
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/t"
+    Transcripts.transcripts(spark, sfDir).write.parquet(dir)
+    val p = plan(ParseStage.parseTurns(spark.read.parquet(dir)).toDF())
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("conv_id") && readSchema.contains("text"), p)
+    assert(!readSchema.contains("role") && !readSchema.contains("ts"), readSchema)
+  }
+
+  test("broadcast-dictionary linking uses a broadcast join, not a shuffle join") {
+    val p = plan(q("kg_linked"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("MinHash signature aggregation is partial (map-side combine)") {
+    val p = plan(Linking.lshBuckets(Ner.mentionUniverse(Transcripts.transcripts(spark, sfDir))))
+    assert(p.contains("partial_minhashagg") || p.contains("Partial"), p)
+  }
+
+  test("brute-force top-k broadcasts the query side") {
+    val p = plan(q("sim_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
