@@ -134,7 +134,11 @@ object SparkEntry {
         .join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey")
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,2)")).as("revenue"))
+        // decimal BEFORE the multiply: exact decimal arithmetic end-to-end,
+        // so Spark and the DuckDB oracle agree to the last cent.
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)").as("revenue"))
         .orderBy(desc("revenue"), col("o_orderkey"))
         .limit(10)
     }),
@@ -377,7 +381,7 @@ COUNT(*) AS n, MAX(l_shipdate) AS max_ship
 FROM lineitem GROUP BY 1, 2""",
 
     "q3_join" ->
-      """SELECT o_orderkey, SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS revenue
+      """SELECT o_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
