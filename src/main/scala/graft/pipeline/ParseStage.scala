@@ -94,6 +94,15 @@ object ParseStage {
       }
   }
 
+  /** Quad view: triples + the constant `graph` column from
+    * `ParserOptions.defaultGraph` (reference `lib/RdfXmlParser.ts:761`;
+    * custom default graph pinned at test:1189-1201). A literal column keeps
+    * Catalyst free to constant-fold it, vs. threading a 4th term through
+    * the parse kernel. */
+  def parseQuads(turns: DataFrame, opts: ParserOptions = ParserOptions()): DataFrame =
+    parseTurns(turns, opts)
+      .withColumn("graph", if (opts.defaultGraph.isEmpty) lit(null: String) else lit(opts.defaultGraph))
+
   /** Parse only the RDF/XML turns of the synthesized transcripts (even
     * turn_idx carries the payloads; odd ones are prose for NER). The filter
     * sits on a base column, so it is pushed below everything else. */

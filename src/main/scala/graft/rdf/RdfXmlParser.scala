@@ -12,6 +12,11 @@ final case class ParserOptions(
     parseUnsupportedVersions: Boolean = false,
     version: Option[String] = None,
     trackPosition: Boolean = false,
+    // Graph stamped on every emitted quad (`lib/RdfXmlParser.ts:90-93`,
+    // `:761`; behavior pinned at test:1189-1201). "" = the default graph.
+    // Constant per parse, so the Spark side attaches it as a literal column
+    // (ParseStage.parseQuads) instead of widening every kernel Triple.
+    defaultGraph: String = "",
 ) {
   def effectiveIriValidation: IriValidation =
     if (iriValidation != null) iriValidation

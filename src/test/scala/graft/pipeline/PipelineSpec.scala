@@ -29,6 +29,17 @@ class PipelineSpec extends SparkSuite {
     assert(subjects == Set("_:c1_0_b0", "_:c1_2_b0", "_:c2_0_b0"))
   }
 
+  test("parseQuads stamps the configured default graph on every quad (ref test:1189-1201)") {
+    import spark.implicits._
+    val doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:dc="http://purl.org/dc/elements/1.1/"><rdf:Description dc:title="RDF1.1 XML Syntax"></rdf:Description></rdf:RDF>"""
+    val turns = Seq(("c1", 0, doc)).toDF("conv_id", "turn_idx", "text")
+    val custom = ParseStage.parseQuads(turns, graft.rdf.ParserOptions(defaultGraph = "http://example.org/g1")).collect()
+    assert(custom.length == 1 && custom.head.getAs[String]("graph") == "http://example.org/g1")
+    assert(custom.head.getAs[String]("pred") == "<http://purl.org/dc/elements/1.1/title>")
+    val dflt = ParseStage.parseQuads(turns).collect()
+    assert(dflt.head.getAs[String]("graph") == null)
+  }
+
   test("conversation reconstruction flags non-dense turn indexes") {
     import spark.implicits._
     val turns = Seq(

@@ -102,6 +102,50 @@ class ManualCasesSpec extends AnyFunSuite {
     assert(emitted.length == 3)
   }
 
+  test("xml errors are delegated (test:106-109)") {
+    assert(RdfXmlParser.parse("\nabc").isLeft)
+  }
+
+  test("invalid IRI scheme errors under default Pragmatic validation (test:137-140)") {
+    val doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:eg="http://example.org/"><rdf:Description rdf:about="%https://example.com/"><eg:p>x</eg:p></rdf:Description></rdf:RDF>"""
+    assert(RdfXmlParser.parse(doc) ==
+      Left(ParseError("Invalid IRI according to RDF Turtle: '%https://example.com/'")))
+  }
+
+  test("invalid IRI character errors under default Pragmatic validation (test:142-145)") {
+    val doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:eg="http://example.org/"><rdf:Description rdf:about="https://example.com/&lt;"><eg:p>x</eg:p></rdf:Description></rdf:RDF>"""
+    assert(RdfXmlParser.parse(doc) ==
+      Left(ParseError("Invalid IRI according to RDF Turtle: 'https://example.com/<'")))
+  }
+
+  test("invalid IRIs pass through with validateUri=false (test:3040-3055)") {
+    val doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:eg="http://example.org/"><rdf:Description rdf:about="%https://example.com/"><eg:p>x</eg:p></rdf:Description></rdf:RDF>"""
+    val Right(ts) = RdfXmlParser.parse(doc, ParserOptions(validateUri = false))
+    assert(ts == Vector(TestSupport.quad("%https://example.com/", "http://example.org/p", "\"x\"")))
+  }
+
+  test("shortened URIs in rdf:about/resource/datatype resolve against the options baseIRI (test:1931-1948)") {
+    val doc = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+            xmlns:ex="http://example.org/stuff/1.0/">
+  <rdf:Description rdf:about="snack">
+    <ex:prop rdf:resource="fruit/apple"/>
+    <ex:prop2 rdf:resource="http://example.org/"/>
+    <ex:editor rdf:datatype="abc">def</ex:editor>
+  </rdf:Description>
+</rdf:RDF>"""
+    val Right(ts) = RdfXmlParser.parse(doc, ParserOptions(baseIRI = "http://example.org/here/"))
+    val expected = Vector(
+      TestSupport.quad("http://example.org/here/snack", "http://example.org/stuff/1.0/prop", "http://example.org/here/fruit/apple"),
+      TestSupport.quad("http://example.org/here/snack", "http://example.org/stuff/1.0/prop2", "http://example.org/"),
+      TestSupport.quad("http://example.org/here/snack", "http://example.org/stuff/1.0/editor", "\"def\"^^http://example.org/here/abc"),
+    )
+    assert(TestSupport.isomorphic(ts, expected))
+  }
+
   test("custom default base IRI from options") {
     val doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
       xmlns:eg="http://example.org/"><rdf:Description rdf:about="rel"><eg:p rdf:resource="x"/></rdf:Description></rdf:RDF>"""
