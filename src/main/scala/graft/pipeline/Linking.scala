@@ -22,9 +22,15 @@ object Linking {
   val ShingleLen = 3
 
   /** Character n-gram shingle set of the lowercased mention, as a column of
-    * distinct strings (pure Catalyst: sequence → transform → substring). */
+    * distinct strings (pure Catalyst: sequence → transform → substring).
+    * Guarded for strings shorter than the shingle length: Spark's
+    * `sequence(1, 0)` counts DOWN ([1, 0]), so an unguarded greatest(…, 0)
+    * bound would fabricate a shingle for 1-2 char strings where the DuckDB
+    * oracle's `generate_series(1, 0)` yields none. */
   def shinglesExpr(colName: String): Column =
-    expr(s"array_distinct(transform(sequence(1, greatest(length($colName) - ${ShingleLen - 1}, 0)), i -> substring(lower($colName), i, $ShingleLen)))")
+    expr(s"""CASE WHEN length($colName) >= $ShingleLen
+      THEN array_distinct(transform(sequence(1, length($colName) - ${ShingleLen - 1}), i -> substring(lower($colName), i, $ShingleLen)))
+      ELSE cast(array() AS array<string>) END""")
 
   /** Exploded (mention, shingle) pairs for a mention universe. */
   def mentionShingles(mentions: DataFrame): DataFrame =
@@ -119,18 +125,26 @@ object Linking {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** (mention, band, bandKey) LSH bucket assignment: explode shingles →
-    * MinHash signature via the typed Aggregator (one shuffle of
-    * (mention, 32 longs) thanks to partial aggregation) → band keys. */
+  /** MinHash signatures as a pure-Catalyst plan: native `fnv1a64`/`fmix64`
+    * expressions (graft.functions — real codegen, wrapping JVM long
+    * arithmetic, no ANSI escape hatches) under 32 `min()` aggregates. The
+    * whole signature computation stays inside whole-stage codegen with
+    * map-side partial aggregation — one shuffle of (mention, 32 longs).
+    * [[MinHashAgg]] computes the identical signature as a typed Aggregator;
+    * LinkingSpec pins their equality. */
+  def minhashSignatures(mentions: DataFrame): DataFrame = {
+    import graft.functions.{GraftFunctions => F}
+    val hashed = mentionShingles(mentions).select(col("mention"), F.fnv1a64(col("shingle")).as("x"))
+    val sigCols = HashSeeds.toSeq.zipWithIndex.map { case (seed, i) =>
+      min(F.fmix64(col("x").bitwiseXOR(lit(seed)))).as(s"s$i")
+    }
+    hashed.groupBy("mention").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("mention"), array((0 until NumHashes).map(i => col(s"s$i")): _*).as("sig"))
+  }
+
+  /** (mention, band, bandKey) LSH bucket assignment: signature → band keys. */
   def lshBuckets(mentions: DataFrame): DataFrame = {
-    val spark = mentions.sparkSession
-    import spark.implicits._
-    val sigs = mentionShingles(mentions)
-      .as[(String, String)]
-      .map { case (m, s) => (m, fnv1a(s)) }
-      .groupByKey(_._1)
-      .agg(MinHashAgg.toColumn.name("sig"))
-      .toDF("mention", "sig")
+    val sigs = minhashSignatures(mentions)
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1).cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(":", parts: _*)).as("bandKey"))

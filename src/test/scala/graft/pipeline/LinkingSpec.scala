@@ -61,6 +61,34 @@ class LinkingSpec extends SparkSuite {
     }
   }
 
+  test("Catalyst minhashSignatures == pure-Scala signatureOf == typed MinHashAgg") {
+    import spark.implicits._
+    val univ = Seq("Supplier#000000003", "Supplier#3", "Customer#000000017", "abc").toDF("mention")
+    val catalyst = Linking.minhashSignatures(univ)
+      .as[(String, Seq[Long])].collect().toMap
+
+    def shingles(m: String): Seq[String] =
+      m.toLowerCase.sliding(Linking.ShingleLen).filter(_.length == Linking.ShingleLen).toSeq.distinct
+    val pure = catalyst.keys.map(m => m -> Linking.signatureOf(shingles(m).map(Linking.fnv1a)).toSeq).toMap
+    assert(catalyst == pure)
+
+    val viaAgg = Linking.mentionShingles(univ)
+      .as[(String, String)]
+      .map { case (m, s) => (m, Linking.fnv1a(s)) }
+      .groupByKey(_._1)
+      .agg(Linking.MinHashAgg.toColumn.name("sig"))
+      .collect().map { case (m, sig) => m -> sig.toSeq }.toMap
+    assert(catalyst == viaAgg)
+  }
+
+  test("shinglesExpr yields no shingles for strings shorter than the shingle length") {
+    import spark.implicits._
+    val got = Seq("x", "ab", "abc").toDF("mention")
+      .select(col("mention"), Linking.shinglesExpr("mention").as("sh"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("x").isEmpty && got("ab").isEmpty && got("abc") == Seq("abc"))
+  }
+
   test("broadcast dictionary linking resolves short and padded forms to the same entity") {
     import spark.implicits._
     val mentions = Seq("Supplier#3", "Supplier#000000003", "Customer#000000017").toDF("mention")

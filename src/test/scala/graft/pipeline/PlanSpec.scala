@@ -54,7 +54,24 @@ class PlanSpec extends SparkSuite {
 
   test("MinHash signature aggregation is partial (map-side combine)") {
     val p = plan(Linking.lshBuckets(Ner.mentionUniverse(Transcripts.transcripts(spark, sfDir))))
-    assert(p.contains("partial_minhashagg") || p.contains("Partial"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("MinHash signatures stay in whole-stage codegen (HashAggregate, no typed-object barrier)") {
+    import spark.implicits._
+    val df = Linking.minhashSignatures(Seq("Supplier#3").toDF("mention"))
+    val p = plan(df)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SerializeFromObject") && !p.contains("MapGroups"), p)
+    // AQE defers codegen until execution — build the same plan with AQE off
+    // to prove the native expressions compile into whole-stage generated code.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cg = Linking.minhashSignatures(Seq("Supplier#3").toDF("mention"))
+        .queryExecution.explainString(ExplainMode.fromString("codegen"))
+      assert(cg.contains("WholeStageCodegen"), cg.take(2000))
+      assert(cg.contains("fnv1a64"), cg.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("brute-force top-k broadcasts the query side") {
