@@ -25,9 +25,24 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Set fingerprint of the (distinct) edge frame: one map-side-combinable
+    * aggregate — (count, bit_xor of row hashes). The previous convergence
+    * check was two `exceptAll` set-differences = two extra full shuffles of
+    * the edge list per iteration; at 100 TB that dominates the round. XOR of
+    * 64-bit row hashes over a distinct set collides with probability ~2⁻⁶⁴ —
+    * acceptable for a convergence (not correctness) signal, and the star
+    * fixpoint is idempotent anyway: one spurious extra round is harmless. */
+  private def fingerprint(g: DataFrame): (Long, Long) = {
+    val r = g.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** @param edges DataFrame with string columns (a, b); direction ignored.
     * @return (node, component) for every node incident to an edge;
     *         component = lexicographic min node id of the component.
+    * @throws IllegalStateException if the fixpoint is not reached within
+    *         maxIter — silently wrong canonical labels are worse than a
+    *         failed job at any scale.
     */
   def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val input = edges.select(col("a").cast("string").as("u"), col("b").cast("string").as("v"))
@@ -43,6 +58,7 @@ object ConnectedComponents {
 
     var iter = 0
     var converged = false
+    var prevFp = fingerprint(g)
     while (iter < maxIter && !converged) {
       // Large-star over the symmetric view: every neighbor v > u links to
       // m(u) = min(N(u) ∪ {u}).
@@ -63,11 +79,14 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
 
-      val changed = next.exceptAll(g).count() + g.exceptAll(next).count()
+      val fp = fingerprint(next)
       g = next
-      converged = changed == 0
+      converged = fp == prevFp
+      prevFp = fp
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(s"connected components did not converge in $maxIter iterations")
 
     val labels = g.groupBy("u").agg(min(col("v")).as("component"))
       .select(col("u").as("node"), col("component"))
