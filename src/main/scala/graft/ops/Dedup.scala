@@ -42,20 +42,11 @@ object Dedup {
     * Returns (doc_id, cluster) where cluster = min doc_id of the near-dup
     * class. */
   def minhashClusters(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sigs = docs.select(col("doc_id"), explode(wordShingles("text")).as("shingle"))
-      .as[(Long, String)]
-      .map { case (id, s) => (id.toString, Linking.fnv1a(s)) }
-      .groupByKey(_._1)
-      .agg(Linking.MinHashAgg.toColumn.name("sig"))
-      .toDF("doc_id", "sig")
-    val bandCols = (0 until Linking.Bands).map { b =>
-      val parts = (0 until Linking.RowsPerBand)
-        .map(r => element_at(col("sig"), b * Linking.RowsPerBand + r + 1).cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws(":", parts: _*)).as("bandKey"))
-    }
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    val sigs = Linking.minhashSignaturesFrom(
+      docs.select(col("doc_id").cast("string").as("doc_id"),
+        explode(wordShingles("text")).as("shingle")),
+      "doc_id")
+    val buckets = sigs.select(col("doc_id"), explode(array(Linking.bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bandKey"))
     val pairs = buckets.as("x").join(buckets.as("y"), Seq("band", "bandKey"))
       .filter(col("x.doc_id") < col("y.doc_id"))

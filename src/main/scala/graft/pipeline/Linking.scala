@@ -132,26 +132,31 @@ object Linking {
     * map-side partial aggregation — one shuffle of (mention, 32 longs).
     * [[MinHashAgg]] computes the identical signature as a typed Aggregator;
     * LinkingSpec pins their equality. */
-  def minhashSignatures(mentions: DataFrame): DataFrame = {
+  def minhashSignatures(mentions: DataFrame): DataFrame =
+    minhashSignaturesFrom(mentionShingles(mentions), "mention")
+
+  /** Same, over any pre-exploded (id, shingle) frame. */
+  def minhashSignaturesFrom(exploded: DataFrame, idCol: String): DataFrame = {
     import graft.functions.{GraftFunctions => F}
-    val hashed = mentionShingles(mentions).select(col("mention"), F.fnv1a64(col("shingle")).as("x"))
+    val hashed = exploded.select(col(idCol), F.fnv1a64(col("shingle")).as("x"))
     val sigCols = HashSeeds.toSeq.zipWithIndex.map { case (seed, i) =>
       min(F.fmix64(col("x").bitwiseXOR(lit(seed)))).as(s"s$i")
     }
-    hashed.groupBy("mention").agg(sigCols.head, sigCols.tail: _*)
-      .select(col("mention"), array((0 until NumHashes).map(i => col(s"s$i")): _*).as("sig"))
+    hashed.groupBy(idCol).agg(sigCols.head, sigCols.tail: _*)
+      .select(col(idCol), array((0 until NumHashes).map(i => col(s"s$i")): _*).as("sig"))
+  }
+
+  /** Banded LSH bucket columns over a `sig` array column. */
+  def bandCols: Seq[Column] = (0 until Bands).map { b =>
+    val parts = (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1).cast("string"))
+    struct(lit(b).as("band"), md5(concat_ws(":", parts: _*)).as("bandKey"))
   }
 
   /** (mention, band, bandKey) LSH bucket assignment: signature → band keys. */
-  def lshBuckets(mentions: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(mentions)
-    val bandCols = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1).cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws(":", parts: _*)).as("bandKey"))
-    }
-    sigs.select(col("mention"), explode(array(bandCols: _*)).as("bk"))
+  def lshBuckets(mentions: DataFrame): DataFrame =
+    minhashSignatures(mentions)
+      .select(col("mention"), explode(array(bandCols: _*)).as("bk"))
       .select(col("mention"), col("bk.band"), col("bk.bandKey"))
-  }
 
   /** Candidate pairs from LSH band buckets (a < b, distinct). */
   def lshCandidates(mentions: DataFrame): DataFrame = {
