@@ -107,6 +107,8 @@ object SparkEntry {
       graft.ops.TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))),
     "text_fingerprint" -> ((s, dir) =>
       graft.ops.TextAnalysis.fingerprints(s.read.parquet(s"$dir/documents.parquet"))),
+    "text_rolling_fp" -> ((s, dir) =>
+      graft.ops.TextAnalysis.rollingFingerprints(s.read.parquet(s"$dir/documents.parquet"))),
 
     // multimodal binary-column plumbing (decode stubbed; schema/batching real)
     "mm_features" -> ((s, dir) =>
@@ -359,6 +361,17 @@ FROM documents""",
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents""",
+
+    // 64-bit FNV-1a re-derived in SQL: hugeint arithmetic mod 2^64, then
+    // two's-complement back to the signed BIGINT the Spark expression emits.
+    "text_rolling_fp" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+h AS (SELECT doc_id, list_reduce(
+  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+    list_transform(string_split_regex(t, ''), c -> CAST(unicode(c) AS HUGEINT))),
+  (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT * 1099511628211) % 18446744073709551616) AS u
+FROM n)
+SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS fp64 FROM h""",
 
     "mm_features" ->
       """WITH m AS (SELECT doc_id,

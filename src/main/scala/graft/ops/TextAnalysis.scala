@@ -62,4 +62,16 @@ object TextAnalysis {
       col("doc_id"),
       md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
     )
+
+  /** Rolling-hash fingerprint: 64-bit FNV-1a over the chars of the
+    * normalized text, via the native codegen `fnv1a64` expression — one
+    * streaming pass per document, no digest allocation (vs md5), and the
+    * same hash the MinHash stages use, so fingerprints and shingle hashes
+    * share one lattice. */
+  def rollingFingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      graft.functions.GraftFunctions
+        .fnv1a64(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp64"),
+    )
 }

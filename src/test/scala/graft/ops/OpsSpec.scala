@@ -51,6 +51,17 @@ class OpsSpec extends SparkSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("rolling fingerprint equals the pure-Scala fnv1a over normalized text") {
+    import spark.implicits._
+    val got = TextAnalysis.rollingFingerprints(docs.limit(20)).as[(Long, Long)].collect().toMap
+    val texts = docs.limit(20).select("doc_id", "text").as[(Long, String)].collect().toMap
+    got.foreach { case (id, fp) =>
+      val norm = texts(id).toLowerCase.replaceAll("\\s+", " ")
+      assert(fp == graft.pipeline.Linking.fnv1a(norm), s"doc $id")
+    }
+    assert(got.size == 20)
+  }
+
   test("multimodal feature extraction: schema, determinism, stub geometry") {
     import spark.implicits._
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs)).collect()
