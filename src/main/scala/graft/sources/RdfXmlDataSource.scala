@@ -1,0 +1,202 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.rdf.{BNode, Iri, Lit, ParseError, ParserOptions, RdfXmlParser, Term, Triple, TripleTerm}
+
+/** `spark.read.format("rdfxml")` — a DataSource V2 batch source that parses
+  * RDF/XML files into triple rows, re-expressing the reference's primary
+  * surface (`textStream.pipe(new RdfXmlParser(...))`, reference
+  * `lib/RdfXmlParser.ts:122-141` R1/R2) as a Spark source.
+  *
+  * Shape: one RDF/XML document per file; files are unsplittable (a document
+  * is one parser state machine), so parallelism = file count, bin-packed
+  * into partitions by size. Schema mirrors [[graft.pipeline.TripleRow]] with
+  * `path` as the lineage column; a malformed document becomes one error row,
+  * never a task failure (R28). Column pruning is pushed into the reader
+  * (`SupportsPushDownRequiredColumns`).
+  *
+  * Options: `baseIRI` (applied per-file; `{path}` placeholder substitutes
+  * the file URI), `validateUri`, `allowDuplicateRdfIds`.
+  */
+class RdfXmlDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "rdfxml"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = RdfXmlTable.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RdfXmlTable(new CaseInsensitiveStringMap(properties))
+}
+
+object RdfXmlTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("subj", StringType),
+    StructField("pred", StringType),
+    StructField("obj", StringType),
+    StructField("obj_type", StringType),
+    StructField("lexical", StringType),
+    StructField("datatype", StringType),
+    StructField("lang", StringType),
+    StructField("error", StringType),
+  ))
+}
+
+final class RdfXmlTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"rdfxml(${options.get("path")})"
+  override def schema(): StructType = RdfXmlTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
+    new RdfXmlScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+final class RdfXmlScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = RdfXmlTable.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new RdfXmlScan(options, required)
+}
+
+final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"RdfXmlScan(${options.get("path")})"
+
+  /** Bin-pack the listed files by size (documents are unsplittable). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = Option(options.get("path"))
+      .getOrElse(throw new IllegalArgumentException("rdfxml source requires a path"))
+    val targetBytes = options.getLong("targetPartitionBytes", 32L * 1024 * 1024)
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    def list(p: Path): Seq[FileStatus] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) fs.listStatus(p).toSeq.flatMap(s => list(s.getPath))
+      else Seq(st)
+    }
+    val files = list(new Path(dir))
+      .filter(f => !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.toString)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[String]]
+    var binBytes = Long.MaxValue
+    files.foreach { f =>
+      if (binBytes >= targetBytes) { bins += scala.collection.mutable.ArrayBuffer.empty; binBytes = 0 }
+      bins.last += f.getPath.toString
+      binBytes += math.max(f.getLen, 64 * 1024) // open cost floor for tiny files
+    }
+    bins.map(b => RdfXmlInputPartition(b.toArray): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val baseIRI = Option(options.get("baseIRI")).getOrElse("")
+    val validateUri = options.getBoolean("validateUri", true)
+    val allowDup = options.getBoolean("allowDuplicateRdfIds", false)
+    RdfXmlReaderFactory(required.fieldNames, baseIRI, validateUri, allowDup)
+  }
+}
+
+case class RdfXmlInputPartition(files: Array[String]) extends InputPartition
+
+case class RdfXmlReaderFactory(
+    fieldNames: Array[String], baseIRI: String, validateUri: Boolean, allowDup: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RdfXmlPartitionReader(
+      partition.asInstanceOf[RdfXmlInputPartition].files, fieldNames, baseIRI, validateUri, allowDup)
+}
+
+final class RdfXmlPartitionReader(
+    files: Array[String], fieldNames: Array[String],
+    baseIRI: String, validateUri: Boolean, allowDup: Boolean)
+    extends PartitionReader[InternalRow] {
+
+  private val fs = files.headOption.map(f => new Path(f).getFileSystem(new Configuration()))
+  private var fileIdx = 0
+  private var rows: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+
+  private def readFile(path: String): String = {
+    val in = fs.get.open(new Path(path))
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Deterministic, globally-unique bnode relabel: first-appearance order
+    * within the document, prefixed by the path hash (same scheme as
+    * ParseStage P4, keyed by file instead of (conv, turn)). */
+  private final class Relabeler(prefix: String) {
+    private val seen = scala.collection.mutable.HashMap.empty[String, String]
+    def apply(t: Term): Term = t match {
+      case BNode(l) => BNode(seen.getOrElseUpdate(l, prefix + "b" + seen.size))
+      case TripleTerm(tr) => TripleTerm(Triple(apply(tr.subj), apply(tr.pred), apply(tr.obj)))
+      case other => other
+    }
+  }
+
+  private def utf8(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
+
+  private def toRow(path: String, t: Triple, err: String): InternalRow = {
+    val (oty, lex, dt, lang) =
+      if (t == null) (if (err != null) "error" else null, null, null, null)
+      else t.obj match {
+        case Lit(l, d, la, _) => ("literal", l, d, la)
+        case Iri(_)           => ("iri", null, null, null)
+        case BNode(_)         => ("bnode", null, null, null)
+        case TripleTerm(_)    => ("triple", null, null, null)
+      }
+    val all: Map[String, String] = Map(
+      "path" -> path,
+      "subj" -> (if (t == null) null else t.subj.ntriples),
+      "pred" -> (if (t == null) null else t.pred.ntriples),
+      "obj" -> (if (t == null) null else t.obj.ntriples),
+      "obj_type" -> oty,
+      "lexical" -> lex,
+      "datatype" -> dt,
+      "lang" -> lang,
+      "error" -> err,
+    )
+    new GenericInternalRow(fieldNames.map(n => utf8(all(n)): Any))
+  }
+
+  private def parseNext(): Boolean = {
+    while (!rows.hasNext && fileIdx < files.length) {
+      val path = files(fileIdx)
+      fileIdx += 1
+      val base = if (baseIRI.contains("{path}")) baseIRI.replace("{path}", path) else baseIRI
+      val opts = ParserOptions(baseIRI = base, validateUri = validateUri, allowDuplicateRdfIds = allowDup)
+      rows = RdfXmlParser.parse(readFile(path), opts) match {
+        case Left(ParseError(msg)) => Iterator.single(toRow(path, null, msg))
+        case Right(ts) =>
+          val relabel = new Relabeler(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(path.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString + "_")
+          ts.iterator.map(t => toRow(path, Triple(relabel(t.subj), relabel(t.pred), relabel(t.obj)), null))
+      }
+    }
+    rows.hasNext
+  }
+
+  override def next(): Boolean =
+    if (parseNext()) { current = rows.next(); true } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

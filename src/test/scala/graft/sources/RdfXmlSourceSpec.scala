@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.SparkSuite
+
+class RdfXmlSourceSpec extends SparkSuite {
+
+  private def writeCorpus(): String = {
+    val dir = Files.createTempDirectory("graft_rdfxml_src")
+    Files.writeString(dir.resolve("a.rdf"),
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://e.org/">
+        |<rdf:Description rdf:about="http://e.org/s1"><ex:p>v1</ex:p><ex:q rdf:resource="http://e.org/o"/></rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    Files.writeString(dir.resolve("b.rdf"),
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://e.org/">
+        |<rdf:Description><ex:p>anon</ex:p></rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    Files.writeString(dir.resolve("bad.rdf"), "<not-closed")
+    Files.writeString(dir.resolve("rel.rdf"),
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://e.org/">
+        |<rdf:Description rdf:about="frag"><ex:p>rel</ex:p></rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    dir.toString
+  }
+
+  test("rdfxml DSv2 source: triples, error rows, bnode uniqueness, path lineage") {
+    val dir = writeCorpus()
+    val df = spark.read.format("rdfxml")
+      .option("baseIRI", "http://base.org/")
+      .load(dir)
+    val rows = df.collect()
+    // a.rdf: 2 triples; b.rdf: 1 (bnode subj); bad.rdf: 1 error row; rel.rdf: 1.
+    assert(rows.length == 5)
+    val errors = rows.filter(_.getAs[String]("error") != null)
+    assert(errors.length == 1 && errors.head.getAs[String]("path").endsWith("bad.rdf"))
+    val ok = rows.filter(_.getAs[String]("error") == null)
+    assert(ok.forall(_.getAs[String]("path").nonEmpty))
+    // relative IRI resolved against the option baseIRI
+    assert(ok.exists(_.getAs[String]("subj") == "<http://base.org/frag>"))
+    // bnode label is path-prefixed (globally unique across files)
+    val bn = ok.filter(_.getAs[String]("subj").startsWith("_:"))
+    assert(bn.length == 1 && bn.head.getAs[String]("subj").matches("_:[0-9a-f]{8}_b0"))
+  }
+
+  test("rdfxml source prunes columns down to the reader") {
+    val dir = writeCorpus()
+    val df = spark.read.format("rdfxml").option("baseIRI", "http://base.org/")
+      .load(dir).select("pred")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(df.collect().length == 5)
+    // physical scan reads only the requested column
+    assert(scan.contains("pred") && !scan.contains("lexical"), scan)
+  }
+
+  test("rdfxml source respects {path} baseIRI placeholder and SQL usage") {
+    val dir = writeCorpus()
+    val df = spark.read.format("rdfxml")
+      .option("baseIRI", "{path}")
+      .load(dir)
+      .filter(col("error").isNull)
+    // rel.rdf's relative subject resolves against its own file URI
+    val rel = df.filter(col("path").endsWith("rel.rdf")).select("subj").collect().map(_.getString(0))
+    assert(rel.forall(s => s.contains("rel.rdf") || s.contains("frag")), rel.mkString(","))
+  }
+
+  test("rdfxml source counts scale by file, independent of partition packing") {
+    val dir = writeCorpus()
+    val one = spark.read.format("rdfxml").option("baseIRI", "http://b.org/")
+      .option("targetPartitionBytes", 1L).load(dir) // one file per partition
+    val packed = spark.read.format("rdfxml").option("baseIRI", "http://b.org/")
+      .option("targetPartitionBytes", 1L << 30).load(dir) // all files one partition
+    assert(one.count() == packed.count())
+    assert(one.rdd.getNumPartitions == 4)
+    assert(packed.rdd.getNumPartitions == 1)
+  }
+}
