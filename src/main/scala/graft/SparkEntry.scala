@@ -96,6 +96,8 @@ object SparkEntry {
       graft.ops.Similarity.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
     "sim_lsh_topk" -> ((s, dir) => // approximate — rows-only
       graft.ops.Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
+    "sim_ivf_topk" -> ((s, dir) => // approximate — rows-only
+      graft.ops.Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
     "sim_neardup" -> ((s, dir) => // 0.35 ~ p99.9 of this corpus: non-empty but selective
       graft.ops.Similarity.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35, 200)),
 

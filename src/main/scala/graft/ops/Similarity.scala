@@ -79,6 +79,51 @@ object Similarity {
       .select("q", "neighbor", "rank")
   }
 
+  /** IVF (inverted-file) ANN — the second scale path besides [[lshTopK]]:
+    * a deterministic coarse codebook (every `stride`-th vector, normalized
+    * weight-free "centroids"), each vector assigned to its nearest cell via
+    * argmax cosine against the broadcast-literal codebook; queries probe
+    * their `nProbe` nearest cells and score only those cells' members. The
+    * candidate join is an equi-join on `cell` — at 100 TB this is the
+    * partition-pruning shape (cell = partition key), vs. LSH's multi-table
+    * union. Approximate; OpsSpec asserts recall vs [[bruteTopK]]. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    // Deterministic codebook: the nCells lowest vec_ids (data-independent
+    // choice; a k-means refinement would slot in here without changing the
+    // plan shape). Collected once on the driver — O(nCells · dim).
+    val codebook = embeddings.orderBy("vec_id").limit(nCells)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    def cellScores(e: Column): Seq[Column] = codebook.toSeq.map { c =>
+      cosine(e, array(c.map(v => lit(v.toDouble)): _*))
+    }
+    // argmax via array_position(scores, array_max(scores)) — pure Catalyst.
+    def cellOf(e: Column): Column = {
+      val scores = array(cellScores(e): _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+    val assigned = embeddings.select(col("vec_id"), col("embedding"), cellOf(col("embedding")).as("cell"))
+    // queries probe their nProbe best cells
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q"), col("embedding").as("qe"))
+      .select(col("q"), col("qe"),
+        explode(slice(reverse(array_sort(zip_with(
+          array(cellScores(col("qe")): _*),
+          sequence(lit(0), lit(nCells - 1)),
+          (s, i) => struct(s.as("s"), i.as("i"))))), 1, nProbe)).as("probe"))
+      .select(col("q"), col("qe"), col("probe.i").cast("int").as("cell"))
+    val scored = assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id").as("neighbor"),
+        round(cosine(col("qe"), col("embedding")), 9).as("cos"))
+      .distinct() // a pair can meet in more than one probed cell
+    val w = Window.partitionBy("q").orderBy(desc("cos"), col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q", "neighbor", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, brute force over
     * the (bounded) id range. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double, maxId: Long): DataFrame = {

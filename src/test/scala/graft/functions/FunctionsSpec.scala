@@ -53,6 +53,17 @@ class FunctionsSpec extends SparkSuite {
     assert(got.collect { case (_, _, None) => 1 }.sum == 2)
   }
 
+  test("expressions are foldable: Catalyst constant-folds literal arguments") {
+    import GraftFunctions._
+    // range (not a local Seq) so ConvertToLocalRelation doesn't collapse the
+    // whole plan and we can see the folded literal in the Project
+    val df = spark.range(1).select(resolve_iri(lit("abc"), lit("http://b.org/")).as("r"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the whole call collapsed to a literal — no ResolveIri node survives
+    assert(optimized.contains("http://b.org/abc"), optimized)
+    assert(!optimized.contains("resolve_iri") && !optimized.contains("ResolveIri"), optimized)
+  }
+
   test("SQL registration: register() exposes the functions to spark.sql") {
     GraftFunctions.register(spark)
     val r = spark.sql(

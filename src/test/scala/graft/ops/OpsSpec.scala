@@ -51,6 +51,20 @@ class OpsSpec extends SparkSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF top-k: recall vs brute force; full recall when probing all cells") {
+    import spark.implicits._
+    val brute = Similarity.bruteTopK(embeddings, 16, 5).as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val ivf = Similarity.ivfTopK(embeddings, 16, 5).as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall > 0.1, f"IVF recall $recall%.2f unreasonably low")
+    // probing every cell makes IVF exhaustive → identical to brute force
+    val full = Similarity.ivfTopK(embeddings, 16, 5, nCells = 8, nProbe = 8)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(full == brute, s"missing: ${brute -- full}, extra: ${full -- brute}")
+  }
+
   test("rolling fingerprint equals the pure-Scala fnv1a over normalized text") {
     import spark.implicits._
     val got = TextAnalysis.rollingFingerprints(docs.limit(20)).as[(Long, Long)].collect().toMap
