@@ -87,4 +87,14 @@ class OpsSpec extends SparkSuite {
     val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs)).collect()
     assert(feats.map(f => (f.doc_id, f.checksum)).toSet == again.map(f => (f.doc_id, f.checksum)).toSet)
   }
+
+  test("frame sampling fans out video payloads deterministically") {
+    val frames = Multimodal.sampleFrames(Multimodal.syntheticMedia(docs.limit(30))).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(f => f.doc_id % 3 == 2), "only video rows sampled") // kind 'video' = doc_id%3==2
+    assert(frames.forall(f => f.frame_idx % 4 == 0 && f.offset == f.frame_idx * 256))
+    val again = Multimodal.sampleFrames(Multimodal.syntheticMedia(docs.limit(30))).collect()
+    assert(frames.map(f => (f.doc_id, f.frame_idx, f.frame_checksum)).toSet ==
+      again.map(f => (f.doc_id, f.frame_idx, f.frame_checksum)).toSet)
+  }
 }
