@@ -1,0 +1,59 @@
+package graft.rdf
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Total-function properties of the parse kernel: any input string yields
+  * Left(ParseError) or Right(triples) — never an escaped exception (the
+  * per-document error channel R28 depends on this at corpus scale: one
+  * weird document must never kill a task), and chunking never changes the
+  * result (reference `_transform` chunk-boundary semantics, E1/E3).
+  * Raw ScalaCheck generators with fixed seeds (no scalatestplus bridge in
+  * the offline cache).
+  */
+class FuzzSpec extends AnyFunSuite {
+
+  private val xmlish: Gen[String] = {
+    val tokens = Gen.oneOf(
+      "<", ">", "/>", "</", "rdf:RDF", "rdf:Description", "rdf:about", "rdf:ID",
+      "rdf:nodeID", "rdf:resource", "rdf:parseType", "=", "\"", "'", " ",
+      "xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\"",
+      "xmlns:ex=\"http://e.org/\"", "ex:p", "&amp;", "&x;", "&", ";",
+      "<!--", "-->", "<![CDATA[", "]]>", "<!DOCTYPE", "<?xml", "?>",
+      "text", "http://e.org/x", "é", "\n", "Literal", "Resource", "Collection",
+    )
+    Gen.listOf(tokens).map(_.mkString)
+  }
+
+  private def samples(gen: Gen[String], n: Int): Seq[String] =
+    (0 until n).flatMap(i => gen(Gen.Parameters.default.withSize(20 + i % 60), Seed(i.toLong)))
+
+  test("property: parse is total — any input → Left or Right, never a throw") {
+    samples(xmlish, 500).foreach { s =>
+      RdfXmlParser.parse(s) match {
+        case Left(ParseError(msg)) => assert(msg != null)
+        case Right(ts)             => assert(ts != null)
+      }
+    }
+  }
+
+  test("property: chunked writes produce the same result as one-shot parse") {
+    val doc = """<?xml version="1.0"?><rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://e.org/"><rdf:Description rdf:about="http://e.org/s"><ex:p xml:lang="en">v&amp;w</ex:p><ex:q rdf:resource="http://e.org/o"/><ex:r rdf:parseType="Resource"><ex:s>t</ex:s></ex:r></rdf:Description></rdf:RDF>"""
+    val oneShot = RdfXmlParser.parse(doc)
+    assert(oneShot.isRight && oneShot.toOption.get.length == 4)
+    (1 to doc.length).foreach { n =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Triple]
+      val p = RdfXmlParser.streaming(ParserOptions())(out += _)
+      doc.grouped(n).foreach(p.write)
+      p.end()
+      assert(Right(out.toVector) == oneShot, s"chunk size $n")
+    }
+  }
+
+  test("property: parse is deterministic (same input → same output)") {
+    samples(xmlish, 200).foreach { s =>
+      assert(RdfXmlParser.parse(s) == RdfXmlParser.parse(s))
+    }
+  }
+}
