@@ -62,10 +62,13 @@ object KgPipeline {
     }
     if (r4.reused) reused += 1
 
-    // P9: bucketed, pred-partitioned materialization.
+    // P9: bucketed, pred-partitioned triple table + subject adjacency table.
     val matRes = Materialize.triples(
       allTriples.withColumn("error", lit(null: String)), s"$outDir/graph")
     if (matRes.reused) reused += 1
+    val adjRes = Materialize.adjacency(
+      allTriples.withColumn("error", lit(null: String)), s"$outDir/adjacency")
+    if (adjRes.reused) reused += 1
 
     PipelineStats(
       turns = turns.count(),

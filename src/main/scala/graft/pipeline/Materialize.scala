@@ -48,6 +48,35 @@ object Materialize {
     }
   }
 
+  /** Materialize the adjacency table: one row per subject with the full
+    * out-degree and a capped, deterministically-ordered adjacency list
+    * (north_star: "triple/adjacency tables"). The cap bounds row size for
+    * hot entities — a 10⁸-degree subject must not become a 10⁸-element array
+    * in one row; consumers needing the full fan-out read the triple table,
+    * which is bucketed for exactly that. Degree stays exact (count, not
+    * list size). */
+  def adjacency(rows: DataFrame, dir: String, maxFanout: Int = 1024, subjBuckets: Int = 64): StageResult = {
+    val spark = rows.sparkSession
+    if (manifestExists(dir)) return StageResult(dir, -1L, reused = true)
+    val adj = rows
+      .filter(col("error").isNull)
+      .groupBy("subj")
+      .agg(
+        count(lit(1)).as("degree"),
+        countDistinct(col("pred")).as("n_pred"),
+        slice(sort_array(collect_list(struct(col("pred"), col("obj")))), 1, maxFanout).as("edges"))
+      .withColumn("subj_hash", pmod(xxhash64(col("subj")), lit(subjBuckets)).cast("int"))
+    adj.repartition(col("subj_hash"))
+      .sortWithinPartitions("subj")
+      .write.mode("overwrite").parquet(s"$dir/data")
+    val back = spark.read.parquet(s"$dir/data")
+    val rows2 = back.count()
+    Files.createDirectories(manifestPath(dir).getParent)
+    Files.writeString(manifestPath(dir),
+      s"""{"stage":"adjacency","rows":$rows2,"maxFanout":$maxFanout,"buckets":$subjBuckets}""")
+    StageResult(dir, rows2, reused = false)
+  }
+
   /** Materialize the triple table: pred_bucket partitions on disk, rows
     * co-located and sorted by subject within files. */
   def triples(rows: DataFrame, dir: String, subjBuckets: Int = 64): StageResult = {

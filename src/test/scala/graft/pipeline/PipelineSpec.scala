@@ -76,11 +76,16 @@ class PipelineSpec extends SparkSuite {
     assert(stats.entities > 0 && stats.entities < 70)
     assert(stats.reusedStages == 0)
     val stats2 = KgPipeline.run(spark, sfDir, out)
-    assert(stats2.reusedStages == 5)
+    assert(stats2.reusedStages == 6)
     assert(stats2.triples == stats.triples)
     // materialized layout: pred_bucket partition dirs exist
     val graphDirs = new java.io.File(s"$out/graph/data").listFiles().map(_.getName).filter(_.startsWith("pred_bucket="))
     assert(graphDirs.nonEmpty)
+    // adjacency table: exact degree, capped deterministic edge list
+    val adj = spark.read.parquet(s"$out/adjacency/data")
+    assert(adj.count() > 0)
+    val r = adj.selectExpr("max(degree)", "max(size(edges))", "min(size(edges))").head()
+    assert(r.getLong(0) >= r.getInt(1) && r.getInt(2) >= 1)
   }
 
   test("salted join equals plain join") {
