@@ -58,13 +58,22 @@ object Materialize {
   def adjacency(rows: DataFrame, dir: String, maxFanout: Int = 1024, subjBuckets: Int = 64): StageResult = {
     val spark = rows.sparkSession
     if (manifestExists(dir)) return StageResult(dir, -1L, reused = true)
-    val adj = rows
-      .filter(col("error").isNull)
+    val triples = rows.filter(col("error").isNull)
+    // Degree/n_pred: plain aggregates — map-side partial, skew-safe.
+    val degrees = triples.groupBy("subj")
+      .agg(count(lit(1)).as("degree"), countDistinct(col("pred")).as("n_pred"))
+    // Edge list: cap BEFORE collect_list — slice(collect_list(...)) would
+    // still buffer the full fan-out per subject in the aggregation buffer,
+    // which OOMs on a 10⁸-degree hot entity. The window keeps at most
+    // maxFanout rows per subject flowing into the collect.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("subj").orderBy("pred", "obj")
+    val capped = triples.select(col("subj"), col("pred"), col("obj"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxFanout)
       .groupBy("subj")
-      .agg(
-        count(lit(1)).as("degree"),
-        countDistinct(col("pred")).as("n_pred"),
-        slice(sort_array(collect_list(struct(col("pred"), col("obj")))), 1, maxFanout).as("edges"))
+      .agg(sort_array(collect_list(struct(col("pred"), col("obj")))).as("edges"))
+    val adj = degrees.join(capped, "subj")
       .withColumn("subj_hash", pmod(xxhash64(col("subj")), lit(subjBuckets)).cast("int"))
     adj.repartition(col("subj_hash"))
       .sortWithinPartitions("subj")
