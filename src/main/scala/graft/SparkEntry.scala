@@ -48,6 +48,10 @@ object SparkEntry {
     "kg_mentions" -> ((s, dir) =>
       Ner.mentions(Transcripts.transcripts(s, dir))),
 
+    // P5 general path: capitalized-span mention candidates
+    "kg_cap_spans" -> ((s, dir) =>
+      Ner.capitalizedSpans(Transcripts.transcripts(s, dir).filter(col("turn_idx") % 2 === 1))),
+
     // P6 (exact path): shingle-blocked n-gram Jaccard edges over the
     // distinct-mention universe
     "kg_link_edges" -> ((s, dir) =>
@@ -231,6 +235,11 @@ expected AS (
 )"""
   }
 
+  /** The prose-turn prefix (capitalized span for the general NER path) —
+    * one definition mirrored by every oracle that rebuilds prose text. */
+  private val ProsePrefixSql =
+    "'Agent ' || upper(substr(lang, 1, 1)) || substr(lang, 2) || ' ' || upper(substr(source, 1, 1)) || substr(source, 2) || ' notes. '"
+
   /** DuckDB SQL reconstructing the full transcript text for the text-
     * equality oracle (the same concat the Spark generator performs). */
   private def turnTextSql: String = {
@@ -256,6 +265,7 @@ turns AS (
   FROM d
   UNION ALL
   SELECT conv_id, CAST(rn*2+1 AS INTEGER), 'tool', 'search',
+    $ProsePrefixSql ||
     'Customer#' || lpad(CAST(doc_id % 50 AS VARCHAR), 9, '0') || ' reported an issue. ' ||
     CASE WHEN doc_id % 2 = 0 THEN 'Supplier#' || lpad(CAST(doc_id % 10 AS VARCHAR), 9, '0') || ' replied. '
          ELSE 'Supplier#' || (doc_id % 10) || ' replied. ' END || text
@@ -269,13 +279,14 @@ SELECT conv_id, turn_idx, role, tool, md5(text) AS text_md5 FROM turns"""
   private def mentionCtes: String =
     s"""
 WITH d AS (
-  SELECT doc_id, text,
+  SELECT doc_id, text, lang, source,
          'conv-' || (doc_id % $Convs) AS conv_id,
          CAST(row_number() OVER (PARTITION BY doc_id % $Convs ORDER BY doc_id) - 1 AS INTEGER) AS rn
   FROM documents
 ),
 prose AS (
   SELECT conv_id, CAST(rn*2+1 AS INTEGER) AS turn_idx,
+    $ProsePrefixSql ||
     'Customer#' || lpad(CAST(doc_id % 50 AS VARCHAR), 9, '0') || ' reported an issue. ' ||
     CASE WHEN doc_id % 2 = 0 THEN 'Supplier#' || lpad(CAST(doc_id % 10 AS VARCHAR), 9, '0') || ' replied. '
          ELSE 'Supplier#' || (doc_id % 10) || ' replied. ' END || text AS text
@@ -296,6 +307,22 @@ edges AS (SELECT a, b FROM ints JOIN sz sa ON sa.mention = ints.a JOIN sz sb ON 
     "kg_pred_counts" -> s"$expectedTriplesCte SELECT pred, COUNT(*) AS n FROM expected GROUP BY pred",
     "kg_turn_text" -> turnTextSql,
     "kg_mentions" -> s"$mentionCtes SELECT conv_id, turn_idx, mention FROM occ",
+    "kg_cap_spans" ->
+      s"""WITH d AS (
+  SELECT doc_id, text, lang, source,
+         'conv-' || (doc_id % $Convs) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY doc_id % $Convs ORDER BY doc_id) - 1 AS INTEGER) AS rn
+  FROM documents
+),
+prose AS (
+  SELECT conv_id, CAST(rn*2+1 AS INTEGER) AS turn_idx,
+    $ProsePrefixSql ||
+    'Customer#' || lpad(CAST(doc_id % 50 AS VARCHAR), 9, '0') || ' reported an issue. ' ||
+    CASE WHEN doc_id % 2 = 0 THEN 'Supplier#' || lpad(CAST(doc_id % 10 AS VARCHAR), 9, '0') || ' replied. '
+         ELSE 'Supplier#' || (doc_id % 10) || ' replied. ' END || text AS text
+  FROM d
+)
+SELECT conv_id, turn_idx, unnest(regexp_extract_all(text, '[A-Z][a-z]+(?: [A-Z][a-z]+)+')) AS span FROM prose""",
     "kg_link_edges" -> s"$mentionCtes SELECT a, b FROM edges",
     "kg_canonical" ->
       s"""${mentionCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},

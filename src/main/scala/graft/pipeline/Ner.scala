@@ -26,4 +26,16 @@ object Ner {
   /** Distinct mention surface forms (the linking universe). */
   def mentionUniverse(turns: DataFrame): DataFrame =
     mentions(turns).select("mention").distinct()
+
+  /** General rule-based path (SURVEY P5 "capitalized spans"): maximal runs
+    * of Capitalized words (2+ words, ASCII — both engines' regex dialects
+    * agree on these classes) as entity-mention candidates. Codegen'd
+    * built-ins only. */
+  val CapSpanRegex = "[A-Z][a-z]+(?: [A-Z][a-z]+)+"
+
+  def capitalizedSpans(turns: DataFrame): DataFrame =
+    turns.select(
+      col("conv_id"),
+      col("turn_idx"),
+      explode(regexp_extract_all(col("text"), lit(CapSpanRegex), lit(0))).as("span"))
 }

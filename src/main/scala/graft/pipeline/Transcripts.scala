@@ -75,8 +75,13 @@ object Transcripts {
 
   /** Prose turn text: deterministic entity mentions + the raw document
     * text. Mentions alternate between full and short forms of the same
-    * entity so linking has real work to do. */
+    * entity so linking has real work to do; a capitalized multi-word span
+    * ("Agent <Lang> <Source>") feeds the general NER path (kg_cap_spans). */
   private def proseText = concat(
+    lit("Agent "),
+    upper(substring(col("lang"), 1, 1)), expr("substr(lang, 2)"), lit(" "),
+    upper(substring(col("source"), 1, 1)), expr("substr(source, 2)"),
+    lit(" notes. "),
     lit("Customer#"), lpad((col("doc_id") % 50).cast("string"), 9, "0"),
     lit(" reported an issue. "),
     when(col("doc_id") % 2 === 0,
