@@ -74,6 +74,20 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("materialized triple layout supports partition pruning on pred_bucket") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_bucket").toString
+    val rows = Seq(
+      ("c1", 0, "<s1>", "<p1>", "<o1>", null: String),
+      ("c1", 0, "<s2>", "<p2>", "<o2>", null: String),
+    ).toDF("conv_id", "turn_idx", "subj", "pred", "obj", "error")
+    Materialize.triples(rows, dir)
+    val back = spark.read.parquet(s"$dir/data").filter($"pred_bucket" === 3)
+    val p = plan(back)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("pred_bucket"), p)
+  }
+
   test("brute-force top-k broadcasts the query side") {
     val p = plan(q("sim_topk"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
