@@ -102,13 +102,17 @@ object Bench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
-    // Warmup (JIT-compiles the parse hot path) + min-of-5 per level: local
-    // microbenchmarks are noisy and min is the standard throughput read.
+    // Warmup (JIT-compiles the parse hot path) + min-of-4 per level, with
+    // the two levels INTERLEAVED over two visits each: this box is a shared
+    // VM with minutes-long hypervisor-steal episodes, and a slow period
+    // hitting only one level would corrupt the ratio (observed: the same
+    // code measured efficiency 0.47-0.86 across runs when levels ran
+    // back-to-back). Min across visits is the standard throughput read.
     def measure(cpus: Int, warm: Boolean): (Long, Double) = {
       val s = session(cpus)
       try {
         if (warm) parseCount(s, corpusDir)
-        val runs = (1 to 5).map(_ => timed(parseCount(s, corpusDir)))
+        val runs = (1 to 4).map(_ => timed(parseCount(s, corpusDir)))
         (runs.head._1, runs.map(_._2).min)
       } finally {
         s.stop()
@@ -117,8 +121,12 @@ object Bench {
       }
     }
 
-    val (triplesLow, secsLow) = measure(n, warm = true)
-    val (triplesHigh, secsHigh) = measure(4 * n, warm = true)
+    val visits = Seq(
+      measure(n, warm = true), measure(4 * n, warm = true),
+      measure(n, warm = true), measure(4 * n, warm = true),
+    )
+    val (triplesLow, secsLow) = (visits(0)._1, math.min(visits(0)._2, visits(2)._2))
+    val (triplesHigh, secsHigh) = (visits(1)._1, math.min(visits(1)._2, visits(3)._2))
     val (_, secsMax) = if (cpus > 4 * n) measure(cpus, warm = false) else (triplesHigh, secsHigh)
 
     val tpsLow = triplesLow / secsLow

@@ -88,6 +88,34 @@ class PipelineSpec extends SparkSuite {
     assert(r.getLong(0) >= r.getInt(1) && r.getInt(2) >= 1)
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true in the adaptive plan)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    )
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one pathological key carrying half the rows
+      val big = spark.range(0, 200000)
+        .select(when($"id" < 100000, lit("hot")).otherwise(concat(lit("k"), $"id")).as("key"),
+          $"id".as("payload"))
+      val small = spark.range(0, 500)
+        .select(when($"id" === 0, lit("hot")).otherwise(concat(lit("k"), $"id")).as("key"),
+          $"id".as("dim"))
+      val joined = big.join(small, "key")
+      assert(joined.count() == 100000 + 499)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (s"k${i % 3}", s"v$i")).toDF("key", "payload")
