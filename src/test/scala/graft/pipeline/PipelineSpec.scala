@@ -104,11 +104,14 @@ class PipelineSpec extends SparkSuite {
         .select(when($"id" < 100000, lit("hot")).otherwise(concat(lit("k"), $"id")).as("key"),
           $"id".as("payload"))
       val small = spark.range(0, 500)
-        .select(when($"id" === 0, lit("hot")).otherwise(concat(lit("k"), $"id")).as("key"),
+        .select(when($"id" === 0, lit("hot")).otherwise(concat(lit("k"), $"id" + 100000)).as("key"),
           $"id".as("dim"))
       val joined = big.join(small, "key")
-      assert(joined.count() == 100000 + 499)
+      // collect() (not count()) so THIS dataset's adaptive plan executes and
+      // finalizes — count() spawns a separate QueryExecution.
+      assert(joined.collect().length == 100000 + 499)
       val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(500))
       assert(plan.contains("skew=true"), plan.take(3000))
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
