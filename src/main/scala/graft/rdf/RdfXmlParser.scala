@@ -192,12 +192,12 @@ final class RdfXmlParser(opts: ParserOptions, push: Triple => Unit) {
     if (childrenTripleTerms != null) childrenTripleTerms += t
     else push(t)
     if (reifier != null)
-      push(Triple(reifier, Iri(RDF + "reifies"), TripleTerm(t)))
+      push(Triple(reifier, RdfXmlParser.IriReifies, TripleTerm(t)))
     if (statementId != null) {
-      push(Triple(statementId, Iri(RDF + "type"), Iri(RDF + "Statement")))
-      push(Triple(statementId, Iri(RDF + "subject"), subject))
-      push(Triple(statementId, Iri(RDF + "predicate"), predicate))
-      push(Triple(statementId, Iri(RDF + "object"), obj))
+      push(Triple(statementId, RdfXmlParser.IriType, RdfXmlParser.IriStatement))
+      push(Triple(statementId, RdfXmlParser.IriSubject, subject))
+      push(Triple(statementId, RdfXmlParser.IriPredicate, predicate))
+      push(Triple(statementId, RdfXmlParser.IriObject, obj))
     }
   }
 
@@ -358,7 +358,7 @@ final class RdfXmlParser(opts: ParserOptions, push: Triple => Unit) {
 
     if (typedNode) {
       val tpe = uriToNamedNode(tag.uri + tag.local)
-      emitTriple(activeTag.subject, Iri(RDF + "type"), tpe,
+      emitTriple(activeTag.subject, RdfXmlParser.IriType, tpe,
         if (parentTag != null) parentTag.reifiedStatementId else null,
         activeTag.childrenTripleTerms, activeTag.reifier)
     }
@@ -368,14 +368,14 @@ final class RdfXmlParser(opts: ParserOptions, push: Triple => Unit) {
         if (parentTag.childrenCollectionSubject != null) {
           // rdf:List chaining (`:438-465`).
           val linkTerm = freshBNode()
-          val restTerm = Iri(RDF + "rest")
+          val restTerm = RdfXmlParser.IriRest
           val isRestTerm = parentTag.childrenCollectionPredicate == restTerm
           emitTriple(parentTag.childrenCollectionSubject, parentTag.childrenCollectionPredicate,
             linkTerm,
             if (isRestTerm) null else parentTag.reifiedStatementId,
             parentTag.childrenTripleTerms,
             if (isRestTerm) null else parentTag.reifier)
-          emitTriple(linkTerm, Iri(RDF + "first"), activeTag.subject, null,
+          emitTriple(linkTerm, RdfXmlParser.IriFirst, activeTag.subject, null,
             activeTag.childrenTripleTerms, null)
           parentTag.childrenCollectionSubject = linkTerm
           parentTag.childrenCollectionPredicate = restTerm
@@ -411,7 +411,7 @@ final class RdfXmlParser(opts: ParserOptions, push: Triple => Unit) {
       }
       // rdf:type attribute emits a named node (`:512-521`).
       if (explicitType != null) {
-        emitTriple(activeTag.subject, Iri(RDF + "type"), uriToNamedNode(explicitType), null,
+        emitTriple(activeTag.subject, RdfXmlParser.IriType, uriToNamedNode(explicitType), null,
           activeTag.childrenTripleTerms, activeTag.reifier)
       }
     }
@@ -585,7 +585,7 @@ final class RdfXmlParser(opts: ParserOptions, push: Triple => Unit) {
       poppedTag.childrenStringTags += poppedTag.childrenStringEmitClosingTag
 
     if (poppedTag.childrenTagsToString) {
-      poppedTag.datatype = Iri(RDF + "XMLLiteral")
+      poppedTag.datatype = RdfXmlParser.IriXmlLiteral
       poppedTag.text = poppedTag.childrenStringTags.mkString("")
       poppedTag.hadChildren = false
     }
@@ -603,7 +603,7 @@ final class RdfXmlParser(opts: ParserOptions, push: Triple => Unit) {
     if (poppedTag.childrenCollectionSubject != null) {
       // Terminate the rdf:List (`:875-883`).
       emitTriple(poppedTag.childrenCollectionSubject, poppedTag.childrenCollectionPredicate,
-        Iri(RDF + "nil"), null, poppedTag.childrenTripleTerms, null)
+        RdfXmlParser.IriNil, null, poppedTag.childrenTripleTerms, null)
     } else if (poppedTag.predicate != null) {
       if (!poppedTag.hadChildren && poppedTag.childrenParseType != ParseMode.Property) {
         // Text-only property element → literal (`:884-894`).
@@ -627,6 +627,19 @@ final class RdfXmlParser(opts: ParserOptions, push: Triple => Unit) {
 }
 
 object RdfXmlParser {
+
+  // Constant terms, hoisted out of the emission hot path (allocated once per
+  // JVM instead of once per triple).
+  private[rdf] val IriType = Iri(RdfVocab.RDF + "type")
+  private[rdf] val IriStatement = Iri(RdfVocab.RDF + "Statement")
+  private[rdf] val IriSubject = Iri(RdfVocab.RDF + "subject")
+  private[rdf] val IriPredicate = Iri(RdfVocab.RDF + "predicate")
+  private[rdf] val IriObject = Iri(RdfVocab.RDF + "object")
+  private[rdf] val IriReifies = Iri(RdfVocab.RDF + "reifies")
+  private[rdf] val IriFirst = Iri(RdfVocab.RDF + "first")
+  private[rdf] val IriRest = Iri(RdfVocab.RDF + "rest")
+  private[rdf] val IriNil = Iri(RdfVocab.RDF + "nil")
+  private[rdf] val IriXmlLiteral = Iri(RdfVocab.RDF + "XMLLiteral")
 
   /** `FORBIDDEN_NODE_ELEMENTS` (`lib/RdfXmlParser.ts:17-28`). */
   val ForbiddenNodeElements: Set[String] = Set(
