@@ -17,6 +17,8 @@ import graft.pipeline.{ParseStage, Materialize}
   * event-time-ish operator we expose (per-conversation turn counts over
   * `ts`).
   */
+final case class ConvProgress(conv_id: String, n_turns: Long, max_turn_idx: Int)
+
 object StreamingParse {
 
   /** Parse a stream of transcript parquet files into a stream of triples. */
@@ -47,6 +49,37 @@ object StreamingParse {
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "10 minutes"), col("conv_id"))
       .agg(count(lit(1)).as("n_turns"))
+  }
+
+  /** Per-conversation progress tracked across micro-batches with
+    * `mapGroupsWithState` — the custom-state surface
+    * (`KeyValueGroupedDataset`, GroupState): a conversation's turn count /
+    * max turn index / density flag accumulate as its turns arrive in any
+    * batch. State is per-key and checkpointed by the engine; at 10¹²-turn
+    * scale the state store shards by conv_id exactly like the batch
+    * repartition does. */
+  def conversationProgress(spark: SparkSession, inputDir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val turns = spark.readStream
+      .schema("conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .select("conv_id", "turn_idx")
+      .as[(String, Int)]
+    turns
+      .groupByKey(_._1)
+      .mapGroupsWithState[ConvProgress, ConvProgress](GroupStateTimeout.NoTimeout) {
+        (conv, it, state) =>
+          val prev = state.getOption.getOrElse(ConvProgress(conv, 0L, -1))
+          var n = prev.n_turns
+          var mx = prev.max_turn_idx
+          it.foreach { case (_, idx) => n += 1; if (idx > mx) mx = idx }
+          val next = ConvProgress(conv, n, mx)
+          state.update(next)
+          next
+      }
+      .toDF()
   }
 
   /** foreachBatch variant: run parse + materialization per micro-batch —
