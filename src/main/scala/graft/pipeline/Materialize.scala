@@ -86,6 +86,20 @@ object Materialize {
     StageResult(dir, rows2, reused = false)
   }
 
+  /** Catalog-bucketed triple table (`bucketBy` + `saveAsTable`): subject-hash
+    * buckets the planner understands, so subject-keyed self-joins and
+    * adjacency aggregations read both sides pre-co-located — zero Exchange
+    * (PlanSpec pins it). This is the deploy-time layout on a real catalog;
+    * [[triples]] is the path-based Iceberg-shaped equivalent. */
+  def bucketedTriples(rows: DataFrame, table: String, subjBuckets: Int = 64): Unit =
+    rows.filter(col("error").isNull)
+      .select("subj", "pred", "obj", "conv_id", "turn_idx")
+      .write.mode("overwrite")
+      .bucketBy(subjBuckets, "subj")
+      .sortBy("subj", "pred")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Materialize the triple table: pred_bucket partitions on disk, rows
     * co-located and sorted by subject within files. */
   def triples(rows: DataFrame, dir: String, subjBuckets: Int = 64): StageResult = {
