@@ -75,7 +75,11 @@ object Bench {
       spark1.range(1 << 20).selectExpr("sum(id)").collect()
       spark1.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
     }
-    val results = (if (skipQueries) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 runs a subset (targeted profiling).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = (if (skipQueries) Seq.empty else selected).map { case (name, fn) =>
       val (_, secs) = timed {
         try fn(spark1, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
@@ -95,6 +99,12 @@ object Bench {
     val n = math.max(2, cores / 8)
     val ampl = sys.env.getOrElse("SPARK_GRAFT_AMPL", "1600").toInt
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
+
+    if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) {
+      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      println(f"""{"metric":"total","value":${results.map(_._2).sum}%.2f,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      return
+    }
 
     val sparkPrep = session(cpus)
     writeAmplifiedCorpus(sparkPrep, sfDir, ampl, corpusDir)

@@ -64,10 +64,11 @@ object ConnectedComponents {
       // m(u) = min(N(u) ∪ {u}).
       val sym = g.unionAll(g.select(col("v").as("u"), col("u").as("v")))
       val lMins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      // No distinct here: small-star's groupBy and the final distinct absorb
+      // duplicate edges, and dropping it removes one full shuffle per round.
       val large = sym.join(lMins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
 
       // Small-star over the (already big→small) edges: every smaller
       // neighbor and u itself link to m(u) = min of the smaller neighbors.
