@@ -116,6 +116,10 @@ object SparkEntry {
     "text_rolling_fp" -> ((s, dir) =>
       graft.ops.TextAnalysis.rollingFingerprints(s.read.parquet(s"$dir/documents.parquet"))),
 
+    "sample_per_lang" -> ((s, dir) =>
+      graft.ops.Sampling.deterministicTopKPerStratum(
+        s.read.parquet(s"$dir/documents.parquet"), "lang", 5)),
+
     // multimodal binary-column plumbing (decode stubbed; schema/batching real)
     "mm_features" -> ((s, dir) =>
       graft.ops.Multimodal.extractFeatures(
@@ -401,6 +405,11 @@ h AS (SELECT doc_id, list_reduce(
   (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT * 1099511628211) % 18446744073709551616) AS u
 FROM n)
 SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS fp64 FROM h""",
+
+    "sample_per_lang" ->
+      """SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+FROM documents) t WHERE rk <= 5""",
 
     "mm_features" ->
       """WITH m AS (SELECT doc_id,

@@ -88,6 +88,23 @@ class OpsSpec extends SparkSuite {
     assert(feats.map(f => (f.doc_id, f.checksum)).toSet == again.map(f => (f.doc_id, f.checksum)).toSet)
   }
 
+  test("deterministic per-stratum sampling: stable, k per stratum, hash-ordered") {
+    import spark.implicits._
+    val s1 = Sampling.deterministicTopKPerStratum(docs, "lang", 3)
+      .as[(Long, String, Int)].collect().toSet
+    val s2 = Sampling.deterministicTopKPerStratum(docs, "lang", 3)
+      .as[(Long, String, Int)].collect().toSet
+    assert(s1 == s2, "sample must be reproducible")
+    val perLang = s1.groupBy(_._2)
+    assert(perLang.values.forall(_.size <= 3) && perLang.values.exists(_.size == 3))
+    // seeded Bernoulli path: deterministic under a fixed seed
+    val langs = docs.select("lang").distinct().as[String].collect()
+    val fr = langs.map(_ -> 0.2).toMap
+    val b1 = Sampling.stratifiedFractions(docs, "lang", fr, seed = 42).count()
+    val b2 = Sampling.stratifiedFractions(docs, "lang", fr, seed = 42).count()
+    assert(b1 == b2 && b1 > 0 && b1 < docs.count())
+  }
+
   test("frame sampling fans out video payloads deterministically") {
     val frames = Multimodal.sampleFrames(Multimodal.syntheticMedia(docs.limit(30))).collect()
     assert(frames.nonEmpty)
