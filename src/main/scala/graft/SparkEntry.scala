@@ -186,6 +186,27 @@ object SparkEntry {
         .groupBy("r_name").agg(count(lit(1)).as("n"))
     }),
 
+    "q_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("int").as("gid"))),
+
+    "q_semijoin" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    }),
+
+    "q_intersect" -> ((s, dir) => {
+      val a = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val b = s.read.parquet(s"$dir/orders.parquet").select(col("o_custkey").as("k"))
+      a.intersect(b)
+    }),
+
     "q_sessions" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/events.parquet")
       val byUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -451,6 +472,20 @@ WHERE rk <= 3""",
     "q_broadcast" ->
       """SELECT r_name, COUNT(*) AS n FROM customer
 JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS n,
+CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_semijoin" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+
+    "q_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT SELECT o_custkey FROM orders""",
 
     "q_sessions" ->
       """WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)
