@@ -51,6 +51,37 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("property: chunk-invariance holds across generated feature-mix documents") {
+    val rnd = new scala.util.Random(42)
+    def fragment(): String = rnd.nextInt(6) match {
+      case 0 => s"""<ex:p${rnd.nextInt(3)}>text ${rnd.nextInt(100)}</ex:p${rnd.nextInt(3) /* may mismatch: fine, doc skipped */}>"""
+      case 1 => s"""<ex:q rdf:resource="http://e.org/o${rnd.nextInt(10)}"/>"""
+      case 2 => s"""<ex:r xml:lang="en">v${rnd.nextInt(10)}</ex:r>"""
+      case 3 => s"""<ex:s rdf:parseType="Resource"><ex:t>u</ex:t></ex:s>"""
+      case 4 => s"""<ex:c rdf:parseType="Collection"><rdf:Description rdf:about="http://e.org/i${rnd.nextInt(5)}"/></ex:c>"""
+      case 5 => s"""<ex:d rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">${rnd.nextInt(100)}</ex:d>"""
+    }
+    (1 to 50).foreach { i =>
+      val body = (1 to 1 + rnd.nextInt(4)).map(_ => fragment()).mkString
+      val doc = s"""<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://e.org/">""" +
+        s"""<rdf:Description rdf:about="http://e.org/s$i">$body</rdf:Description></rdf:RDF>"""
+      val oneShot = RdfXmlParser.parse(doc)
+      (1 to 3).foreach { _ =>
+        val n = 1 + rnd.nextInt(doc.length)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Triple]
+        val p = RdfXmlParser.streaming(ParserOptions())(out += _)
+        val chunked =
+          try { doc.grouped(n).foreach(p.write); p.end(); Right(out.toVector) }
+          catch { case e: Throwable => Left(e.getClass.getName) }
+        (oneShot, chunked) match {
+          case (Right(a), Right(b)) => assert(a == b, s"doc $i chunk $n")
+          case (Left(_), Left(_))   => // both error — same verdict
+          case other                => fail(s"doc $i chunk $n verdict mismatch: $other")
+        }
+      }
+    }
+  }
+
   test("property: parse is deterministic (same input → same output)") {
     samples(xmlish, 200).foreach { s =>
       assert(RdfXmlParser.parse(s) == RdfXmlParser.parse(s))
