@@ -40,7 +40,8 @@ object KgMain {
     // one JSON line, same contract style as Bench
     println(
       s"""{"turns":${stats.turns},"triples":${stats.triples},"parse_errors":${stats.parseErrors},""" +
-      s""""mentions":${stats.mentions},"entities":${stats.entities},"reused_stages":${stats.reusedStages}}""")
+      s""""mentions":${stats.mentions},"entities":${stats.entities},""" +
+      s""""subjects_approx":${stats.subjectsApprox},"reused_stages":${stats.reusedStages}}""")
     spark.stop()
   }
 }

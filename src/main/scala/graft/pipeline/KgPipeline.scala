@@ -17,6 +17,10 @@ object KgPipeline {
       parseErrors: Long,
       mentions: Long,
       entities: Long,
+      // HLL sketch of distinct subjects — the affordable cardinality read at
+      // 10¹²-row scale, where an exact countDistinct would be its own
+      // full-shuffle job (SURVEY P10).
+      subjectsApprox: Long,
       reusedStages: Int,
   )
 
@@ -76,6 +80,7 @@ object KgPipeline {
       parseErrors = parsed.filter(col("error").isNotNull).count(),
       mentions = mentions.count(),
       entities = canonical.select("component").distinct().count(),
+      subjectsApprox = allTriples.agg(approx_count_distinct("subj", 0.02)).head().getLong(0),
       reusedStages = reused,
     )
   }

@@ -75,6 +75,10 @@ class PipelineSpec extends SparkSuite {
     assert(stats.mentions == 1000)
     assert(stats.entities > 0 && stats.entities < 70)
     assert(stats.reusedStages == 0)
+    // HLL at rsd=0.02 must land within ~3x rsd of the exact distinct count
+    val exactSubjects = spark.read.parquet(s"$out/triples_all/data").select("subj").distinct().count()
+    assert(math.abs(stats.subjectsApprox - exactSubjects).toDouble / exactSubjects < 0.06,
+      s"approx=${stats.subjectsApprox} exact=$exactSubjects")
     val stats2 = KgPipeline.run(spark, sfDir, out)
     assert(stats2.reusedStages == 6)
     assert(stats2.triples == stats.triples)
