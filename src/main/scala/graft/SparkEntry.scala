@@ -95,6 +95,9 @@ object SparkEntry {
       graft.ops.Dedup.minhashClusters(s.read.parquet(s"$dir/documents.parquet"))),
     "dedup_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"))),
+    // the deterministic signature itself IS oracle-able (bit-exact in SQL)
+    "dedup_simhash_sig" -> ((s, dir) =>
+      graft.ops.Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
 
     "sim_topk" -> ((s, dir) =>
       graft.ops.Similarity.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
@@ -374,6 +377,22 @@ sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], ' ') for i
 sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 ints AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS cnt FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2)
 SELECT a, b FROM ints JOIN sz sa ON sa.doc_id = ints.a JOIN sz sb ON sb.doc_id = ints.b WHERE cnt*1.0/(sa.sz + sb.sz - cnt) >= 0.6""",
+
+    // 64-bit SimHash re-derived in SQL: per-token FNV-1a (hugeint mod 2^64),
+    // per-bit majority vote, bits reassembled, two's-complement to BIGINT.
+    "dedup_simhash_sig" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+th AS (SELECT doc_id, list_reduce(
+    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      list_transform(string_split_regex(t, ''), c -> CAST(unicode(c) AS HUGEINT))),
+    (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT * 1099511628211) % 18446744073709551616
+  )::UBIGINT AS h FROM tok),
+bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bb GROUP BY doc_id, b),
+sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << b)::HUGEINT ELSE 0 END) AS HUGEINT) AS u
+  FROM bits GROUP BY doc_id)
+SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash
+FROM sig""",
 
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS q, embedding AS qe FROM embeddings WHERE vec_id < 16),
