@@ -62,6 +62,12 @@ object SparkEntry {
     "kg_lsh_candidates" -> ((s, dir) =>
       Linking.lshCandidates(Ner.mentionUniverse(Transcripts.transcripts(s, dir)))),
 
+    // P6 signature primitive, oracle-gated bit-exactly: (mention, i, s)
+    "kg_minhash_sig" -> ((s, dir) =>
+      Linking.minhashSignatures(Ner.mentionUniverse(Transcripts.transcripts(s, dir)))
+        .select(col("mention"), posexplode(col("sig")).as(Seq("i", "s")))
+        .select(col("mention"), col("i").cast("int").as("i"), col("s"))),
+
     // P7: broadcast-dictionary link scoring
     "kg_linked" -> ((s, dir) =>
       Linking.linkToDictionary(
@@ -329,7 +335,44 @@ sz AS (SELECT mention, COUNT(*) AS sz FROM sh GROUP BY mention),
 ints AS (SELECT x.mention AS a, y.mention AS b, COUNT(*) AS cnt FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.mention < y.mention GROUP BY 1, 2),
 edges AS (SELECT a, b FROM ints JOIN sz sa ON sa.mention = ints.a JOIN sz sb ON sb.mention = ints.b WHERE cnt*1.0/(sa.sz + sb.sz - cnt) >= 0.5)"""
 
+  /** `(e * c) mod 2^64` in DuckDB with all intermediates < 2^97 (INT128
+    * overflows on a direct 64×64 multiply): split `e` into 32-bit halves.
+    * `e` must be a UBIGINT expression; `c` a decimal literal < 2^64. */
+  private def mulmod(e: String, c: String): String =
+    s"(((($e) % 4294967296)::HUGEINT * $c) % 18446744073709551616" +
+      s" + (((($e) // 4294967296)::HUGEINT * $c) % 4294967296) * 4294967296)" +
+      " % 18446744073709551616"
+
+  /** The MinHash pipeline re-derived in SQL: FNV-1a shingle hashes, the
+    * murmur3 fmix64 seed family (wrapping 64-bit arithmetic via [[mulmod]]),
+    * signed per-seed minima — bit-identical to graft.functions.{Fnv1a64,
+    * Fmix64} under Linking.HashSeeds. */
+  private def minhashSigSql: String = {
+    val C1 = "18397679294719823053" // 0xff51afd7ed558ccd
+    val C2 = "14181476777654086739" // 0xc4ceb9fe1a85ec53
+    val GOLD = "11400714819323198485" // 0x9E3779B97F4A7C15
+    s"""$mentionCtes,
+hs AS (SELECT mention, list_reduce(
+    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      list_transform(string_split_regex(shingle, ''), c -> CAST(unicode(c) AS HUGEINT))),
+    (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT * 1099511628211) % 18446744073709551616
+  )::UBIGINT AS h FROM sh),
+sb AS (SELECT i, (${mulmod("CAST(i+1 AS UBIGINT)", GOLD)})::UBIGINT AS u
+       FROM (SELECT unnest(generate_series(0, 31)) AS i)),
+s1 AS (SELECT i, (${mulmod("xor(u, u >> 33)", C1)})::UBIGINT AS z FROM sb),
+s2 AS (SELECT i, (${mulmod("xor(z, z >> 33)", C2)})::UBIGINT AS z FROM s1),
+seeds AS (SELECT i, xor(z, z >> 33) AS seed FROM s2),
+x0 AS (SELECT mention, i, xor(h, seed) AS u FROM hs, seeds),
+x1 AS (SELECT mention, i, (${mulmod("xor(u, u >> 33)", C1)})::UBIGINT AS z FROM x0),
+x2 AS (SELECT mention, i, (${mulmod("xor(z, z >> 33)", C2)})::UBIGINT AS z FROM x1),
+x3 AS (SELECT mention, i, xor(z, z >> 33) AS v FROM x2),
+sg AS (SELECT mention, i, MIN(CAST(CASE WHEN v >= 9223372036854775808 THEN v::HUGEINT - 18446744073709551616 ELSE v::HUGEINT END AS BIGINT)) AS s
+       FROM x3 GROUP BY 1, 2)
+SELECT mention, CAST(i AS INTEGER) AS i, s FROM sg"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "kg_minhash_sig" -> minhashSigSql,
     "kg_triples" -> s"$expectedTriplesCte SELECT conv_id, turn_idx, subj, pred, obj FROM expected",
     "kg_parse_errors" -> "SELECT CAST(0 AS BIGINT) AS n",
     "kg_pred_counts" -> s"$expectedTriplesCte SELECT pred, COUNT(*) AS n FROM expected GROUP BY pred",
