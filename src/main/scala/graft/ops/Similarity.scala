@@ -58,7 +58,7 @@ object Similarity {
     val bucketCols = (0 until tables).map { t =>
       val bits = (0 until bitsPerTable).map { b =>
         val p = ps(t * bitsPerTable + b)
-        when(dot(col("embedding"), array(p.map(v => lit(v)): _*)) >= 0, lit(1 << b)).otherwise(lit(0))
+        when(dot(col("embedding"), array(p.toIndexedSeq.map(v => lit(v)): _*)) >= 0, lit(1 << b)).otherwise(lit(0))
       }
       struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
     }
@@ -96,7 +96,7 @@ object Similarity {
       .select("vec_id", "embedding").collect()
       .map(r => r.getSeq[Float](1).toArray)
     def cellScores(e: Column): Seq[Column] = codebook.toSeq.map { c =>
-      cosine(e, array(c.map(v => lit(v.toDouble)): _*))
+      cosine(e, array(c.toIndexedSeq.map(v => lit(v.toDouble)): _*))
     }
     // argmax via array_position(scores, array_max(scores)) — pure Catalyst.
     def cellOf(e: Column): Column = {
