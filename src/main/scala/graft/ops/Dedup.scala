@@ -23,8 +23,10 @@ object Dedup {
 
   /** Near-dup candidate pairs by exact word-shingle Jaccard >= threshold,
     * blocked by the shared-shingle inverted index (no O(n²) enumeration). */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(wordShingles("text")).as("shingle"))
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+                        maxShingleDf: Long = Linking.DefaultMaxShingleDf): DataFrame = {
+    val sh = Linking.capShingleDf(
+      docs.select(col("doc_id"), explode(wordShingles("text")).as("shingle")), maxShingleDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -37,10 +39,18 @@ object Dedup {
       .select("a", "b")
   }
 
-  /** MinHash-LSH near-dup clusters (scale path): shingle → signature (typed
-    * Aggregator) → banded buckets → candidate pairs → connected components.
-    * Returns (doc_id, cluster) where cluster = min doc_id of the near-dup
-    * class. */
+  /** MinHash-LSH near-dup clusters (scale path): shingle → signature
+    * (codegen'd min-aggregates) → banded buckets → star edges → connected
+    * components. Returns (doc_id, cluster) where cluster = min doc_id of
+    * the near-dup class.
+    *
+    * Candidate edges are a STAR per bucket (each member → the bucket's min
+    * id), not the all-pairs self-join: for connected components the bucket
+    * clique and the bucket star have identical components, and the star is
+    * O(m) per bucket where the clique is O(m²) — a bucket of 10⁶ identical
+    * boilerplate documents costs 10⁶ edges instead of 10¹² pairs. The
+    * hub aggregate and the member join share the (band, bandKey) shuffle
+    * key, so the exchange is reused. */
   def minhashClusters(docs: DataFrame): DataFrame = {
     val sigs = Linking.minhashSignaturesFrom(
       docs.select(col("doc_id").cast("string").as("doc_id"),
@@ -48,11 +58,12 @@ object Dedup {
       "doc_id")
     val buckets = sigs.select(col("doc_id"), explode(array(Linking.bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bandKey"))
-    val pairs = buckets.as("x").join(buckets.as("y"), Seq("band", "bandKey"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val hubs = buckets.groupBy("band", "bandKey").agg(min(col("doc_id")).as("a"))
+    val starEdges = buckets.join(hubs, Seq("band", "bandKey"))
+      .filter(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b"))
       .distinct()
-    ConnectedComponents.run(pairs)
+    ConnectedComponents.run(starEdges)
       .select(col("node").as("doc_id"), col("component").as("cluster"))
   }
 
@@ -78,13 +89,20 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 4×16-bit band blocking, then exact hamming
-    * verification (`bit_count` is codegen'd). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * verification (`bit_count` is codegen'd). Bucket membership is capped
+    * (see [[Linking.DefaultMaxBucketSize]]): m documents sharing a 16-bit
+    * band — e.g. m near-identical boilerplate pages — would emit m²
+    * candidates; the cap bounds it at cap², trading recall only among
+    * documents an exact-hash pass upstream already collapses. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucketSize: Int = Linking.DefaultMaxBucketSize): DataFrame = {
     val sh = simhash(docs)
-    val bands = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val bands = Linking.capBucket(
+      sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key")),
+      Seq("band", "key"), "doc_id", maxBucketSize)
     bands.as("x").join(bands.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),

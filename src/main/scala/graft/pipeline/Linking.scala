@@ -21,6 +21,33 @@ object Linking {
 
   val ShingleLen = 3
 
+  /** Default document-frequency cap for inverted-index blocking: a shingle
+    * present in k documents contributes k² rows to the shared-shingle
+    * self-join, so one boilerplate shingle shared by 10⁸ docs is a
+    * job-killing skew key at 100 TB. Shingles above the cap carry no
+    * discriminating signal (they are near-stopwords of the corpus) and are
+    * dropped from BOTH the intersection and the set sizes, so the Jaccard
+    * stays a true Jaccard over the discriminating-shingle sets. */
+  val DefaultMaxShingleDf = 1000L
+
+  /** Default LSH bucket-membership cap: m identical documents land in one
+    * (band, key) bucket and would emit m² candidate pairs — quadratic at
+    * training-corpus duplication rates (m ~ 10⁶ for boilerplate). Buckets
+    * above the cap keep their first `cap` members by id; the recall trade is
+    * only among documents so similar they collide in a full band, which an
+    * exact-hash dedup pass upstream removes anyway. */
+  val DefaultMaxBucketSize = 1024
+
+  /** Keep only shingles whose document frequency is <= cap (see
+    * [[DefaultMaxShingleDf]]). The df aggregate and the semi-join shuffle on
+    * `shingle`, the same key as the downstream self-join, so the exchange is
+    * reused. */
+  def capShingleDf(sh: DataFrame, cap: Long): DataFrame = {
+    val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("shingle")
+    sh.join(keep, Seq("shingle"), "left_semi")
+  }
+
   /** Character n-gram shingle set of the lowercased mention, as a column of
     * distinct strings (pure Catalyst: sequence → transform → substring).
     * Guarded for strings shorter than the shingle length: Spark's
@@ -41,8 +68,9 @@ object Linking {
     * self-join IS the blocking step — no O(n²) pair enumeration). Returns
     * pairs (a, b), a < b, with jaccard >= threshold.
     */
-  def jaccardEdges(mentions: DataFrame, threshold: Double): DataFrame = {
-    val sh = mentionShingles(mentions)
+  def jaccardEdges(mentions: DataFrame, threshold: Double,
+                   maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val sh = capShingleDf(mentionShingles(mentions), maxShingleDf)
     val sizes = sh.groupBy("mention").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
       .filter(col("x.mention") < col("y.mention"))
@@ -158,13 +186,27 @@ object Linking {
       .select(col("mention"), explode(array(bandCols: _*)).as("bk"))
       .select(col("mention"), col("bk.band"), col("bk.bandKey"))
 
-  /** Candidate pairs from LSH band buckets (a < b, distinct). */
-  def lshCandidates(mentions: DataFrame): DataFrame = {
-    val b = lshBuckets(mentions)
+  /** Candidate pairs from LSH band buckets (a < b, distinct). Bucket
+    * membership is capped (see [[DefaultMaxBucketSize]]) so a hot bucket of
+    * m near-identical members costs min(m, cap)² pairs, not m². */
+  def lshCandidates(mentions: DataFrame,
+                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val b = capBucket(lshBuckets(mentions), Seq("band", "bandKey"), "mention", maxBucketSize)
     b.as("x").join(b.as("y"), Seq("band", "bandKey"))
       .filter(col("x.mention") < col("y.mention"))
       .select(col("x.mention").as("a"), col("y.mention").as("b"))
       .distinct()
+  }
+
+  /** Keep the first `cap` members of each bucket, deterministically by id
+    * (row_number over the bucket key — one window shuffle on the same key
+    * as the candidate self-join, so the exchange is reused). */
+  def capBucket(buckets: DataFrame, keyCols: Seq[String], idCol: String, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    buckets.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
   }
 
   // ------------------------------------------------------- dictionary stage

@@ -105,6 +105,48 @@ class OpsSpec extends SparkSuite {
     assert(b1 == b2 && b1 > 0 && b1 < docs.count())
   }
 
+  test("frequent-shingle DF cap: a shingle shared by every doc is dropped, exact dups still pair") {
+    import spark.implicits._
+    val common = "c1 c2 c3 c4 c5"
+    val n = 50
+    val hot = (0 until n).map(i => (i.toLong, s"$common u${i}a u${i}b u${i}c u${i}d u${i}e"))
+    val twin = "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"
+    val corpus = (hot :+ (9998L, twin) :+ (9999L, twin)).toDF("doc_id", "text")
+    // Cap below the hot shingle's df: the universal 5-gram is excluded from
+    // BOTH intersections and set sizes, so its k² join fan-out never happens
+    // and the identical pair (full overlap on its own shingles) survives.
+    val pairs = Dedup.ngramJaccardPairs(corpus, 0.6, maxShingleDf = n - 1)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((9998L, 9999L)))
+    // Default cap (no shingle near it here): identical output on this corpus
+    // — one shared boilerplate shingle alone can't clear the threshold.
+    val uncapped = Dedup.ngramJaccardPairs(corpus, 0.6).as[(Long, Long)].collect().toSet
+    assert(uncapped == pairs)
+  }
+
+  test("simhash hot-bucket cap bounds candidate fan-out on 1000 identical docs") {
+    import spark.implicits._
+    val text = "the same boilerplate text repeated verbatim in every copy of this page"
+    val corpus = spark.range(1000).select(col("id").as("doc_id"), lit(text).as("text"))
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 0, maxBucketSize = 8)
+      .as[(Long, Long, Int)].collect()
+    // All 4 bands keep the same first-8 doc_ids → at most C(8,2) = 28
+    // distinct pairs instead of C(1000,2) = 499500.
+    assert(pairs.nonEmpty && pairs.length <= 28)
+    assert(pairs.forall(_._3 == 0))
+    assert(pairs.forall(p => p._1 < 8 && p._2 < 8))
+  }
+
+  test("minhash star edges give the same clusters as the bucket clique (1000 identical docs, no quadratic)") {
+    import spark.implicits._
+    val text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val corpus = spark.range(1000).select(col("id").as("doc_id"), lit(text).as("text"))
+    val clusters = Dedup.minhashClusters(corpus).as[(String, String)].collect()
+    // one component containing all 1000 docs, labeled by the lexicographic min
+    assert(clusters.length == 1000)
+    assert(clusters.map(_._2).distinct.toSeq == Seq("0"))
+  }
+
   test("frame sampling fans out video payloads deterministically") {
     val frames = Multimodal.sampleFrames(Multimodal.syntheticMedia(docs.limit(30))).collect()
     assert(frames.nonEmpty)

@@ -89,6 +89,24 @@ class LinkingSpec extends SparkSuite {
     assert(got("x").isEmpty && got("ab").isEmpty && got("abc") == Seq("abc"))
   }
 
+  test("capShingleDf drops shingles above the document-frequency cap") {
+    import spark.implicits._
+    val sh = Seq(("a", "hot"), ("b", "hot"), ("c", "hot"), ("a", "rare"), ("b", "other"))
+      .toDF("mention", "shingle")
+    val kept = Linking.capShingleDf(sh, 2)
+      .select("mention", "shingle").as[(String, String)].collect().toSet
+    assert(kept == Set(("a", "rare"), ("b", "other")))
+  }
+
+  test("lshCandidates bucket cap limits pair fan-out for identical-signature mentions") {
+    import spark.implicits._
+    // Rotations of a period-3 string share the identical shingle SET, hence
+    // identical MinHash signatures and identical band buckets.
+    val rots = Seq("abcabcabc", "bcabcabca", "cabcabcab").toDF("mention")
+    assert(Linking.lshCandidates(rots).count() == 3)
+    assert(Linking.lshCandidates(rots, maxBucketSize = 2).count() == 1)
+  }
+
   test("broadcast dictionary linking resolves short and padded forms to the same entity") {
     import spark.implicits._
     val mentions = Seq("Supplier#3", "Supplier#000000003", "Customer#000000017").toDF("mention")
