@@ -22,8 +22,18 @@ object Bench {
   /** Deterministic corpus amplification: each RDF/XML transcript turn
     * replicated `k` times under distinct conv_ids, written once as a
     * well-partitioned parquet corpus. Both scaling runs then time the same
-    * scan → mapPartitions parse → count job over identical files. */
-  private def writeAmplifiedCorpus(spark: SparkSession, sfDir: String, k: Int, dir: String): Unit = {
+    * scan → mapPartitions parse → count job over identical files.
+    *
+    * The corpus is content-addressed by (sfDir, k) in a marker file and
+    * REUSED across invocations: the 128-partition write is itself a heavy
+    * sustained load on this shared VM, and the CPU-throttle episode it
+    * triggers was the likely cause of r1's depressed early scaling pairs
+    * (0.56-0.60 for the first three pairs, 1.02 after the box recovered).
+    * Returns true if the corpus was freshly written. */
+  private def ensureAmplifiedCorpus(spark: SparkSession, sfDir: String, k: Int, dir: String): Boolean = {
+    val marker = new java.io.File(dir, "_GRAFT_CORPUS")
+    val stamp = s"$sfDir|$k"
+    if (marker.isFile && scala.io.Source.fromFile(marker).mkString.trim == stamp) return false
     val turns = Transcripts.transcripts(spark, sfDir)
       .select("conv_id", "turn_idx", "text")
       .filter(col("turn_idx") % 2 === 0)
@@ -32,6 +42,9 @@ object Bench {
       .select(concat(col("conv_id"), lit("#"), col("rep")).as("conv_id"), col("turn_idx"), col("text"))
       .repartition(128)
       .write.mode("overwrite").parquet(dir)
+    val w = new java.io.PrintWriter(marker)
+    try w.print(stamp) finally w.close()
+    true
   }
 
   private def parseCount(spark: SparkSession, corpusDir: String): Long =
@@ -115,26 +128,32 @@ object Bench {
     }
 
     val sparkPrep = session(cpus)
-    writeAmplifiedCorpus(sparkPrep, sfDir, ampl, corpusDir)
+    val freshCorpus = ensureAmplifiedCorpus(sparkPrep, sfDir, ampl, corpusDir)
     sparkPrep.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // Settle after a fresh 128-partition corpus write: the sustained all-core
+    // load triggers this VM's throttle episode, which would depress the
+    // first high-parallelism legs (observed in r1's pair sequence).
+    if (freshCorpus && !sys.env.contains("SPARK_GRAFT_NO_SETTLE")) Thread.sleep(60000)
 
-    // Warmup (JIT-compiles the parse hot path) + min-of-3 per visit, with
+    // Warmup (JIT-compiles the parse hot path) + min-of-k per visit, with
     // the two levels measured as temporally-ADJACENT (low, high) pairs:
     // this box is a shared VM whose deliverable CPU swings ~2× over
     // minutes-long hypervisor episodes (the same binary measured pure-JVM
-    // kernel throughput of 1.2M and 2.1M docs/s an hour apart, and scaling
-    // efficiency 0.47-0.87 across runs). A pair measured inside one weather
-    // window sees the same machine on both sides of the ratio; we sample up
-    // to 4 pairs, report every pair, and take the best — a lower bound on
-    // the quiet-machine ratio. Min-of-runs within a visit is the standard
-    // throughput read.
-    def measure(cpus: Int): (Long, Double) = {
+    // kernel throughput of 1.2M and 2.1M docs/s an hour apart). A pair
+    // measured inside one weather window sees the same machine on both
+    // sides of the ratio. The sample size is FIXED (no resample-until-pass:
+    // a stopping rule coupled to the gate biases the headline upward — r1
+    // ADVICE), the headline efficiency is the MEDIAN of the pair
+    // efficiencies, and every pair is reported. A min-time estimator
+    // (best leg times across all visits → quiet-machine ratio) is reported
+    // alongside for comparison, not as the headline.
+    def measure(cpus: Int, timedRuns: Int): (Long, Double) = {
       val s = session(cpus)
       try {
         parseCount(s, corpusDir) // warm this session
-        val runs = (1 to 3).map(_ => timed(parseCount(s, corpusDir)))
+        val runs = (1 to timedRuns).map(_ => timed(parseCount(s, corpusDir)))
         (runs.head._1, runs.map(_._2).min)
       } finally {
         s.stop()
@@ -143,35 +162,40 @@ object Bench {
       }
     }
 
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIRS", "5").toInt
     var pairs = Vector.empty[((Long, Double), (Long, Double))]
-    while (pairs.size < 6 &&
-           !pairs.exists(p => (p._1._2 / p._2._2) / 4.0 >= 0.82)) {
-      // Breather between below-threshold pairs: the degraded episodes look
-      // like a sustained-load CPU throttle (the 4-core leg is rock-stable
-      // across all weather; only the 16-core leg swings), so idle time
-      // between samples actively extends the horizon past an episode.
-      if (pairs.nonEmpty) Thread.sleep(45000)
-      pairs :+= (measure(n), measure(4 * n))
+    while (pairs.size < nPairs) {
+      // Breather before every pair: the degraded episodes look like a
+      // sustained-load CPU throttle (the 4-core leg is rock-stable across
+      // all weather; only the 16-core leg swings), so idle time between
+      // samples lets the box recover before each reading.
+      if (pairs.nonEmpty) Thread.sleep(30000)
+      // low leg is weather-stable → 2 timed runs suffice; high leg gets 3
+      pairs :+= (measure(n, 2), measure(4 * n, 3))
     }
     val pairEffs = pairs.map(p => (p._1._2 / p._2._2) / 4.0)
-    val best = pairs(pairEffs.indexOf(pairEffs.max))
-    val (triplesLow, secsLow) = best._1
-    val (triplesHigh, secsHigh) = best._2
-    val (_, secsMax) = if (cpus > 4 * n) measure(cpus) else (triplesHigh, secsHigh)
+    val sortedEffs = pairEffs.sorted
+    val efficiency = // median of the fixed sample — the headline
+      if (sortedEffs.size % 2 == 1) sortedEffs(sortedEffs.size / 2)
+      else (sortedEffs(sortedEffs.size / 2 - 1) + sortedEffs(sortedEffs.size / 2)) / 2.0
+    val triples = pairs.head._1._1
+    val secsLow = pairs.map(_._1._2).min // min-of-visits: standard throughput read
+    val secsHigh = pairs.map(_._2._2).min
+    val effMinRatio = (secsLow / secsHigh) / 4.0
+    val (_, secsMax) = if (cpus > 4 * n) measure(cpus, 3) else (triples, secsHigh)
 
     // Query suite last — see runQuerySuite's comment.
     val results = runQuerySuite()
 
-    val tpsLow = triplesLow / secsLow
-    val tpsHigh = triplesHigh / secsHigh
-    val tpsMax = triplesHigh / secsMax
-    val efficiency = (tpsHigh / tpsLow) / 4.0
+    val tpsLow = triples / secsLow
+    val tpsHigh = triples / secsHigh
+    val tpsMax = triples / secsMax
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val pairsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
     val scaling =
-      f"""{"cores_low":$n,"cores_high":${4 * n},"triples":$triplesHigh,"secs_low":$secsLow%.2f,"secs_high":$secsHigh%.2f,"tps_low":$tpsLow%.0f,"tps_high":$tpsHigh%.0f,"efficiency":$efficiency%.3f,"pair_efficiencies":$pairsJson,"cores_max":$cpus,"tps_max":$tpsMax%.0f}"""
+      f"""{"cores_low":$n,"cores_high":${4 * n},"triples":$triples,"secs_low":$secsLow%.2f,"secs_high":$secsHigh%.2f,"tps_low":$tpsLow%.0f,"tps_high":$tpsHigh%.0f,"efficiency":$efficiency%.3f,"efficiency_median":$efficiency%.3f,"efficiency_best":${pairEffs.max}%.3f,"efficiency_minratio":$effMinRatio%.3f,"pair_efficiencies":$pairsJson,"cores_max":$cpus,"tps_max":$tpsMax%.0f}"""
     println(
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","triples_per_sec":$tpsMax%.0f,"scaling":$scaling}""")
   }

@@ -80,39 +80,45 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN — the second scale path besides [[lshTopK]]:
-    * a deterministic coarse codebook (every `stride`-th vector, normalized
-    * weight-free "centroids"), each vector assigned to its nearest cell via
-    * argmax cosine against the broadcast-literal codebook; queries probe
-    * their `nProbe` nearest cells and score only those cells' members. The
-    * candidate join is an equi-join on `cell` — at 100 TB this is the
-    * partition-pruning shape (cell = partition key), vs. LSH's multi-table
-    * union. Approximate; OpsSpec asserts recall vs [[bruteTopK]]. */
+    * a deterministic coarse codebook, each vector assigned to its nearest
+    * cell by cosine; queries probe their `nProbe` nearest cells and score
+    * only those cells' members. The candidate join is an equi-join on
+    * `cell` — at 100 TB this is the partition-pruning shape (cell =
+    * partition key), vs. LSH's multi-table union.
+    *
+    * The codebook is a broadcast-joined TABLE (cell, centroid), not a bank
+    * of literal expressions: plan size and codegen stay O(1) as nCells grows
+    * to the 4k–64k cells a real 100 TB index needs (a 64k-branch literal
+    * expression is a plan-size cliff). Assignment = broadcast nested-loop
+    * against the nCells rows + one max-of-struct aggregate (argmax).
+    * Approximate; OpsSpec asserts recall vs [[bruteTopK]] and exhaustive
+    * equality when probing all cells. */
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     // Deterministic codebook: the nCells lowest vec_ids (data-independent
     // choice; a k-means refinement would slot in here without changing the
-    // plan shape). Collected once on the driver — O(nCells · dim).
+    // plan shape).
+    val w0 = Window.orderBy("vec_id")
     val codebook = embeddings.orderBy("vec_id").limit(nCells)
-      .select("vec_id", "embedding").collect()
-      .map(r => r.getSeq[Float](1).toArray)
-    def cellScores(e: Column): Seq[Column] = codebook.toSeq.map { c =>
-      cosine(e, array(c.toIndexedSeq.map(v => lit(v.toDouble)): _*))
-    }
-    // argmax via array_position(scores, array_max(scores)) — pure Catalyst.
-    def cellOf(e: Column): Column = {
-      val scores = array(cellScores(e): _*)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
-    }
-    val assigned = embeddings.select(col("vec_id"), col("embedding"), cellOf(col("embedding")).as("cell"))
-    // queries probe their nProbe best cells
+      .select((row_number().over(w0) - 1).cast("int").as("cell"), col("embedding").as("centroid"))
+    // argmax cell per vector: max of (score, -cell) picks the smallest cell
+    // on score ties — the same first-max-index rule as array_position.
+    val assigned = embeddings.crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("embedding"),
+        struct(cosine(col("embedding"), col("centroid")).as("s"), (-col("cell")).as("negc")).as("sc"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"), max(col("sc")).as("best"))
+      .select(col("vec_id"), col("embedding"), (-col("best.negc")).cast("int").as("cell"))
+    // queries probe their nProbe best cells (desc score, then larger cell —
+    // the reverse-sorted-struct order of the literal formulation)
+    val wq = Window.partitionBy("q").orderBy(desc("cs"), desc("cell"))
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q"), col("embedding").as("qe"))
-      .select(col("q"), col("qe"),
-        explode(slice(reverse(array_sort(zip_with(
-          array(cellScores(col("qe")): _*),
-          sequence(lit(0), lit(nCells - 1)),
-          (s, i) => struct(s.as("s"), i.as("i"))))), 1, nProbe)).as("probe"))
-      .select(col("q"), col("qe"), col("probe.i").cast("int").as("cell"))
+      .crossJoin(broadcast(codebook))
+      .select(col("q"), col("qe"), col("cell"), cosine(col("qe"), col("centroid")).as("cs"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nProbe)
+      .select(col("q"), col("qe"), col("cell"))
     val scored = assigned.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("q"))
       .select(col("q"), col("vec_id").as("neighbor"),

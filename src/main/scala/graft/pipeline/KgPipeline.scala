@@ -11,6 +11,22 @@ import org.apache.spark.sql.functions._
   */
 object KgPipeline {
 
+  /** Broadcast ceiling (rows) for the canonical-mention map. Below it the
+    * sameAs join is a map-side broadcast join; above it — corpus-scale
+    * distinct mentions can exceed driver/executor broadcast limits — fall
+    * back to an un-hinted join and let AQE pick sort-merge / shuffled-hash
+    * (and re-broadcast at runtime if the map turns out small after all). */
+  val CanonicalBroadcastMaxRows = 10000000L
+
+  /** The mention → component join with the size guard applied. The row
+    * count is read from the already-materialized canonical snapshot, so the
+    * guard costs one metadata-cheap count, not an extra shuffle. */
+  private[pipeline] def joinCanonical(mentions: DataFrame, canonical: DataFrame,
+                                      maxBroadcastRows: Long): DataFrame = {
+    val dim = if (canonical.count() <= maxBroadcastRows) broadcast(canonical) else canonical
+    mentions.join(dim, mentions("mention") === canonical("node"))
+  }
+
   final case class PipelineStats(
       turns: Long,
       triples: Long,
@@ -24,7 +40,8 @@ object KgPipeline {
       reusedStages: Int,
   )
 
-  def run(spark: SparkSession, sfDir: String, outDir: String): PipelineStats = {
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          canonicalBroadcastMaxRows: Long = CanonicalBroadcastMaxRows): PipelineStats = {
     var reused = 0
 
     // P1-P3: scan + parse (shuffle-free; each turn self-contained).
@@ -50,11 +67,11 @@ object KgPipeline {
 
     // Canonical entity triples: mention → its component representative,
     // emitted as sameAs triples joined into the graph. The canonical map is
-    // small (distinct mentions) → broadcast join, never a shuffle of the
-    // triple table.
+    // usually small (distinct mentions) → broadcast join; size-guarded so a
+    // corpus whose mention universe outgrows broadcast limits degrades to a
+    // shuffle join instead of failing (see [[CanonicalBroadcastMaxRows]]).
     val (allTriples, r4) = Materialize.snapshotStage(spark, "triples_all", s"$outDir/triples_all") {
-      val mentionTriples = mentions
-        .join(broadcast(canonical), mentions("mention") === canonical("node"))
+      val mentionTriples = joinCanonical(mentions, canonical, canonicalBroadcastMaxRows)
         .select(
           concat(lit("<http://graft.dev/mention/"), col("mention"), lit(">")).as("subj"),
           lit("<http://graft.dev/voc#sameAs>").as("pred"),

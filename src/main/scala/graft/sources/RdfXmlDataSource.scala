@@ -4,8 +4,8 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -81,12 +81,21 @@ final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType) 
   override def toBatch: Batch = this
   override def description(): String = s"RdfXmlScan(${options.get("path")})"
 
+  /** The session's Hadoop configuration (spark.hadoop.* props, object-store
+    * credentials, HA nameservices) merged with the scan options, captured at
+    * scan-build time on the driver and shipped to readers — a bare
+    * `new Configuration()` only ever worked for local paths. */
+  private[sources] val hadoopConf = new SerializableConfiguration(
+    org.apache.spark.sql.GraftSqlBridge.hadoopConfWithOptions(
+      org.apache.spark.sql.SparkSession.active,
+      options.asCaseSensitiveMap().asScala.toMap))
+
   /** Bin-pack the listed files by size (documents are unsplittable). */
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = Option(options.get("path"))
       .getOrElse(throw new IllegalArgumentException("rdfxml source requires a path"))
     val targetBytes = options.getLong("targetPartitionBytes", 32L * 1024 * 1024)
-    val fs = new Path(dir).getFileSystem(new Configuration())
+    val fs = new Path(dir).getFileSystem(hadoopConf.value)
     def list(p: Path): Seq[FileStatus] = {
       val st = fs.getFileStatus(p)
       if (st.isDirectory) fs.listStatus(p).toSeq.flatMap(s => list(s.getPath))
@@ -109,26 +118,29 @@ final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType) 
     val baseIRI = Option(options.get("baseIRI")).getOrElse("")
     val validateUri = options.getBoolean("validateUri", true)
     val allowDup = options.getBoolean("allowDuplicateRdfIds", false)
-    RdfXmlReaderFactory(required.fieldNames, baseIRI, validateUri, allowDup)
+    RdfXmlReaderFactory(required.fieldNames, baseIRI, validateUri, allowDup, hadoopConf)
   }
 }
 
 case class RdfXmlInputPartition(files: Array[String]) extends InputPartition
 
 case class RdfXmlReaderFactory(
-    fieldNames: Array[String], baseIRI: String, validateUri: Boolean, allowDup: Boolean)
+    fieldNames: Array[String], baseIRI: String, validateUri: Boolean, allowDup: Boolean,
+    hadoopConf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RdfXmlPartitionReader(
-      partition.asInstanceOf[RdfXmlInputPartition].files, fieldNames, baseIRI, validateUri, allowDup)
+      partition.asInstanceOf[RdfXmlInputPartition].files, fieldNames, baseIRI, validateUri, allowDup,
+      hadoopConf)
 }
 
 final class RdfXmlPartitionReader(
     files: Array[String], fieldNames: Array[String],
-    baseIRI: String, validateUri: Boolean, allowDup: Boolean)
+    baseIRI: String, validateUri: Boolean, allowDup: Boolean,
+    hadoopConf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
-  private val fs = files.headOption.map(f => new Path(f).getFileSystem(new Configuration()))
+  private val fs = files.headOption.map(f => new Path(f).getFileSystem(hadoopConf.value))
   private var fileIdx = 0
   private var rows: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
@@ -140,8 +152,10 @@ final class RdfXmlPartitionReader(
   }
 
   /** Deterministic, globally-unique bnode relabel: first-appearance order
-    * within the document, prefixed by the path hash (same scheme as
-    * ParseStage P4, keyed by file instead of (conv, turn)). */
+    * within the document, prefixed by the FULL 128-bit path MD5 (same scheme
+    * as ParseStage P4, keyed by file instead of (conv, turn)). A truncated
+    * prefix is not collision-safe: 32 bits birthday-collides at ~65k files,
+    * silently merging unrelated blank nodes across documents. */
   private final class Relabeler(prefix: String) {
     private val seen = scala.collection.mutable.HashMap.empty[String, String]
     def apply(t: Term): Term = t match {
@@ -187,7 +201,7 @@ final class RdfXmlPartitionReader(
         case Right(ts) =>
           val relabel = new Relabeler(
             java.security.MessageDigest.getInstance("MD5")
-              .digest(path.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString + "_")
+              .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString + "_")
           ts.iterator.map(t => toRow(path, Triple(relabel(t.subj), relabel(t.pred), relabel(t.obj)), null))
       }
     }

@@ -65,6 +65,19 @@ class OpsSpec extends SparkSuite {
     assert(full == brute, s"missing: ${brute -- full}, extra: ${full -- brute}")
   }
 
+  test("IVF codebook is a broadcast table: 256 cells run without a 256-branch literal plan") {
+    import spark.implicits._
+    // a literal-expression codebook at this size would blow up plan/codegen;
+    // the table formulation keeps the plan O(1) in nCells
+    val df = Similarity.ivfTopK(embeddings, 8, 3, nCells = 256, nProbe = 256)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastNestedLoopJoin"), "codebook must join as a broadcast table")
+    // probe-all at 256 cells still matches brute force exactly
+    val brute = Similarity.bruteTopK(embeddings, 8, 3).as[(Long, Long, Int)].collect().toSet
+    val full = df.as[(Long, Long, Int)].collect().toSet
+    assert(full == brute)
+  }
+
   test("rolling fingerprint equals the pure-Scala fnv1a over normalized text") {
     import spark.implicits._
     val got = TextAnalysis.rollingFingerprints(docs.limit(20)).as[(Long, Long)].collect().toMap

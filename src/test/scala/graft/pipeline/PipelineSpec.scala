@@ -92,6 +92,29 @@ class PipelineSpec extends SparkSuite {
     assert(r.getLong(0) >= r.getInt(1) && r.getInt(2) >= 1)
   }
 
+  test("canonical-map broadcast is size-guarded: above the ceiling the join is not broadcast") {
+    import spark.implicits._
+    val mentions = Seq(("m1", "c-1", 1), ("m2", "c-1", 3), ("m3", "c-2", 1))
+      .toDF("mention", "conv_id", "turn_idx")
+    val canonical = Seq(("m1", "e1"), ("m2", "e1"), ("m3", "m3")).toDF("node", "component")
+    // disable the size-based auto-broadcast so the plan shape reflects the
+    // guard's hint alone (tiny test relations would otherwise always
+    // broadcast, threshold or not)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val small = KgPipeline.joinCanonical(mentions, canonical, maxBroadcastRows = 1000000)
+      val large = KgPipeline.joinCanonical(mentions, canonical, maxBroadcastRows = 0)
+      assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      val largePlan = large.queryExecution.executedPlan.toString
+      assert(!largePlan.contains("BroadcastHashJoin"), largePlan) // sort-merge/shuffled-hash fallback
+      // both strategies produce the identical join result
+      val cols = Seq("mention", "component")
+      assert(small.select(cols.map(col): _*).as[(String, String)].collect().toSet ==
+        large.select(cols.map(col): _*).as[(String, String)].collect().toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("AQE splits a skewed sort-merge join partition (skew=true in the adaptive plan)") {
     import spark.implicits._
     val confs = Seq(

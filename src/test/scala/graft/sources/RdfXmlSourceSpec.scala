@@ -39,9 +39,10 @@ class RdfXmlSourceSpec extends SparkSuite {
     assert(ok.forall(_.getAs[String]("path").nonEmpty))
     // relative IRI resolved against the option baseIRI
     assert(ok.exists(_.getAs[String]("subj") == "<http://base.org/frag>"))
-    // bnode label is path-prefixed (globally unique across files)
+    // bnode label is prefixed by the full 128-bit path MD5 (collision-safe
+    // across millions of files, unlike a truncated prefix)
     val bn = ok.filter(_.getAs[String]("subj").startsWith("_:"))
-    assert(bn.length == 1 && bn.head.getAs[String]("subj").matches("_:[0-9a-f]{8}_b0"))
+    assert(bn.length == 1 && bn.head.getAs[String]("subj").matches("_:[0-9a-f]{32}_b0"))
   }
 
   test("rdfxml source prunes columns down to the reader") {
@@ -74,5 +75,21 @@ class RdfXmlSourceSpec extends SparkSuite {
     assert(one.count() == packed.count())
     assert(one.rdd.getNumPartitions == 4)
     assert(packed.rdd.getNumPartitions == 1)
+  }
+
+  test("rdfxml scan ships the session Hadoop configuration, overlaid with scan options") {
+    val dir = writeCorpus()
+    spark.sparkContext.hadoopConfiguration.set("graft.probe.ctx", "from-context")
+    try {
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir, "graft.probe.opt", "from-option"))
+      val scan = new RdfXmlScan(opts, RdfXmlTable.Schema)
+      // a bare `new Configuration()` would carry neither of these
+      assert(scan.hadoopConf.value.get("graft.probe.ctx") == "from-context")
+      assert(scan.hadoopConf.value.get("graft.probe.opt") == "from-option")
+      // and the conf actually reaches file listing / the readers
+      assert(spark.read.format("rdfxml").option("baseIRI", "http://base.org/")
+        .load(dir).count() == 5)
+    } finally spark.sparkContext.hadoopConfiguration.unset("graft.probe.ctx")
   }
 }
