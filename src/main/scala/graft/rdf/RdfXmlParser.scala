@@ -24,10 +24,16 @@ final case class ParserOptions(
     else IriValidation.None
 }
 
+/** IRI validation strategy — the reference's `iriValidationStrategy`
+  * option (`lib/RdfXmlParser.ts:978-981`, validate-iri's Strict / Pragmatic
+  * / None), plus a user-supplied hook: `Custom` receives each IRI and
+  * returns `Some(errorMessage)` to reject it. */
 sealed trait IriValidation
 object IriValidation {
+  case object Strict extends IriValidation
   case object Pragmatic extends IriValidation
   case object None extends IriValidation
+  final case class Custom(validate: String => Option[String]) extends IriValidation
 }
 
 /** A grammar/IRI violation. `message` already carries the
@@ -137,6 +143,11 @@ final class RdfXmlParser(opts: ParserOptions, push: Triple => Unit) {
       case IriValidation.Pragmatic =>
         if (!IriValidator.pragmaticValid(uri))
           throw parseError(s"Invalid IRI according to RDF Turtle: '$uri'")
+      case IriValidation.Strict =>
+        if (!IriValidator.strictValid(uri))
+          throw parseError(s"Invalid IRI according to RFC 3987: '$uri'")
+      case IriValidation.Custom(f) =>
+        f(uri).foreach(m => throw parseError(m))
       case IriValidation.None =>
     }
     Iri(uri)

@@ -50,6 +50,35 @@ class ManualCasesSpec extends AnyFunSuite {
     assert(lex == "\n      <Box xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" xmlns:ex=\"http://example.org/stuff/1.0/\"></Box>\n    ")
   }
 
+  private def parseAbout(iri: String, v: IriValidation): Either[ParseError, Vector[Triple]] =
+    RdfXmlParser.parse(
+      s"""<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"><rdf:Description rdf:about="$iri"/></rdf:RDF>""",
+      ParserOptions(iriValidation = v))
+
+  test("iriValidation=Strict enforces full RFC 3987 (reference IriValidationStrategy.Strict)") {
+    // pragmatic accepts a bare '%' and '['; strict requires pct-encoding and
+    // bracket-only-for-IP-literal
+    assert(parseAbout("http://example.org/%zz", IriValidation.Pragmatic).isRight)
+    assert(parseAbout("http://example.org/%zz", IriValidation.Strict) ==
+      Left(ParseError("Invalid IRI according to RFC 3987: 'http://example.org/%zz'")))
+    assert(parseAbout("foo:/[x]", IriValidation.Pragmatic).isRight)
+    assert(parseAbout("foo:/[x]", IriValidation.Strict).isLeft)
+    // strict accepts the full grammar: userinfo, IPv6 literal, port, query,
+    // fragment, unicode path segments, and an empty hier-part
+    assert(parseAbout("http://u@[2001:db8::1]:8080/p?q=1#f", IriValidation.Strict).isRight)
+    assert(parseAbout("http://example.org/ünïcödé?q=ß#frag", IriValidation.Strict).isRight)
+    assert(parseAbout("a:", IriValidation.Strict).isRight)
+    assert(parseAbout("http://example.org/a b", IriValidation.Strict).isLeft)
+  }
+
+  test("iriValidation=Custom: a user-supplied validation hook rejects with its own message") {
+    val custom = IriValidation.Custom(iri =>
+      if (iri.contains("evil")) Some(s"Corporate policy forbids: '$iri'") else None)
+    assert(parseAbout("http://example.org/good", custom).isRight)
+    assert(parseAbout("http://example.org/evil", custom) ==
+      Left(ParseError("Corporate policy forbids: 'http://example.org/evil'")))
+  }
+
   test("unsupported rdf:version errors") {
     val doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" rdf:version="0.9"/>"""
     assert(RdfXmlParser.parse(doc) == Left(ParseError("Detected unsupported version: 0.9")))
