@@ -109,9 +109,11 @@ object SparkEntry {
 
     "sim_topk" -> ((s, dir) =>
       graft.ops.Similarity.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
-    "sim_lsh_topk" -> ((s, dir) => // approximate — rows-only
+    // approximate ANN paths — oracle-gated exactly: the seeded hyperplanes /
+    // codebook are replayed in SQL with fold-exact double arithmetic
+    "sim_lsh_topk" -> ((s, dir) =>
       graft.ops.Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
-    "sim_ivf_topk" -> ((s, dir) => // approximate — rows-only
+    "sim_ivf_topk" -> ((s, dir) =>
       graft.ops.Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
     "sim_neardup" -> ((s, dir) => // 0.35 ~ p99.9 of this corpus: non-empty but selective
       graft.ops.Similarity.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35, 200)),
@@ -438,6 +440,31 @@ sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << b)::
   FROM bits GROUP BY doc_id),
 ss AS (SELECT doc_id, u, CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash FROM sig)"""
 
+  /** Fold-exact SQL mirror of Similarity.dot: elementwise double products
+    * summed left-to-right — bit-identical to Catalyst's
+    * `aggregate(zip_with(...))` fold (float→double casts are exact, IEEE
+    * multiply/add are deterministic given the order, and `0.0 + x == x`). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, v) -> s + v)"
+
+  /** The LSH hyperplane family as SQL literal rows (t, b, plane) — the
+    * exact doubles Similarity.lshTopK uses (Double.toString round-trips). */
+  private def planesValuesSql: String =
+    graft.ops.Similarity.planes(8 * 4, 64).zipWithIndex.map { case (p, i) =>
+      s"(${i / 4}, ${i % 4}, [${p.mkString(",")}]::DOUBLE[])"
+    }.mkString("VALUES ", ", ", "")
+
+  /** Shared tail of the ANN oracles: fold-exact cosine over candidate
+    * pairs, round to 9 decimals (as the Spark op does before ranking),
+    * rank per query. Expects a CTE `cand(q, neighbor)` and `nrm(vec_id,
+    * embedding, n)`. */
+  private def annRankSql(k: Int): String =
+    s""",
+sc AS (SELECT c.q, c.neighbor, round(${dotSql("x.embedding", "y.embedding")} / (x.n * y.n), 9) AS cos
+       FROM cand c JOIN nrm x ON x.vec_id = c.q JOIN nrm y ON y.vec_id = c.neighbor),
+r AS (SELECT q, neighbor, row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rk FROM sc)
+SELECT q, neighbor, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= $k"""
+
   def oracleSql: Map[String, String] = Map(
     "kg_minhash_sig" -> minhashSigSql,
     // LSH candidate pairs are a deterministic composition of the bit-exact
@@ -538,6 +565,32 @@ SELECT q, neighbor, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""",
     "sim_neardup" ->
       """SELECT x.vec_id AS a, y.vec_id AS b FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 WHERE x.vec_id < 200 AND y.vec_id < 200 AND list_cosine_similarity(x.embedding, y.embedding) >= 0.35""",
+
+    // Random-hyperplane LSH ANN, replayed exactly: the 32 seeded planes are
+    // embedded as literals, bucket sign bits use the fold-exact dot (so the
+    // sign comparison sees bit-identical doubles), candidates are the
+    // (table, bucket) collisions, and ranking mirrors the Spark op.
+    // Constants match the SparkEntry call: nQueries=16, k=5, 8 tables × 4 bits.
+    "sim_lsh_topk" ->
+      s"""WITH pl(t, b, plane) AS ($planesValuesSql),
+dotp AS (SELECT e.vec_id, p.t, p.b, ${dotSql("e.embedding", "p.plane")} AS d FROM embeddings e, pl p),
+bk AS (SELECT vec_id, t, SUM(CASE WHEN d >= 0 THEN (1 << b) ELSE 0 END) AS bucket FROM dotp GROUP BY 1, 2),
+qb AS (SELECT vec_id AS q, t, bucket FROM bk WHERE vec_id < 16),
+cand AS (SELECT DISTINCT qb.q, b.vec_id AS neighbor FROM bk b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket WHERE b.vec_id <> qb.q),
+nrm AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS n FROM embeddings)${annRankSql(5)}""",
+
+    // IVF ANN, replayed exactly: codebook = 16 lowest vec_ids, assignment =
+    // argmax unrounded cosine (ties → smallest cell, as Spark's
+    // max-of-struct with negated cell), probes = top-4 cells per query
+    // (ties → larger cell, the reverse-sorted-struct order).
+    "sim_ivf_topk" ->
+      s"""WITH nrm AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS n FROM embeddings),
+cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS ce, n AS cn
+       FROM (SELECT * FROM nrm ORDER BY vec_id LIMIT 16) t),
+score AS (SELECT v.vec_id, c.cell, ${dotSql("v.embedding", "c.ce")} / (v.n * c.cn) AS cs FROM nrm v, cb c),
+asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn FROM score) t WHERE rn = 1),
+qp AS (SELECT vec_id AS q, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell DESC) AS rn FROM score WHERE vec_id < 16) t WHERE rn <= 4),
+cand AS (SELECT DISTINCT qp.q, a.vec_id AS neighbor FROM asg a JOIN qp ON a.cell = qp.cell WHERE a.vec_id <> qp.q)${annRankSql(5)}""",
 
     "text_quality" ->
       """SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars,

@@ -39,8 +39,10 @@ object Similarity {
       .select("q", "neighbor", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplanes (seeded, data-independent). */
-  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+  /** Deterministic pseudo-random hyperplanes (seeded, data-independent).
+    * `private[graft]`: SparkEntry embeds the same values as SQL literals so
+    * the DuckDB oracle can replay the exact bucket assignment. */
+  private[graft] def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(20260816L)
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
