@@ -39,13 +39,15 @@ object Linking {
   val DefaultMaxBucketSize = 1024
 
   /** Keep only shingles whose document frequency is <= cap (see
-    * [[DefaultMaxShingleDf]]). The df aggregate and the semi-join shuffle on
-    * `shingle`, the same key as the downstream self-join, so the exchange is
-    * reused. */
+    * [[DefaultMaxShingleDf]]). Shaped as an ANTI-join against the HOT set
+    * (shingles above the cap): hot shingles are by construction a tiny
+    * fraction of the distinct-shingle universe, so AQE broadcasts the anti
+    * side at runtime and the big (id, shingle) frame is never re-shuffled —
+    * a semi-join against the keep set would shuffle everything twice. */
   def capShingleDf(sh: DataFrame, cap: Long): DataFrame = {
-    val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap).select("shingle")
-    sh.join(keep, Seq("shingle"), "left_semi")
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("shingle")
+    sh.join(hot, Seq("shingle"), "left_anti")
   }
 
   /** Character n-gram shingle set of the lowercased mention, as a column of
