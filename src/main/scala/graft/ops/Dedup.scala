@@ -21,12 +21,25 @@ object Dedup {
   def wordShingles(c: String, n: Int = 5): Column =
     expr(s"array_distinct(transform(sequence(1, greatest(size(split($c, ' ')) - ${n - 1}, 0)), i -> concat_ws(' ', slice(split($c, ' '), i, $n))))")
 
+  /** Exploded (id, shingle) word-n-gram rows with the token array
+    * materialized ONCE per document: higher-order functions are interpreted
+    * (CodegenFallback), so a `split` inside the per-shingle lambda re-splits
+    * the full text for every shingle — O(tokens²) character work per doc.
+    * The sequence bound is also CASE-guarded (Spark's `sequence(1, 0)`
+    * counts DOWN and would fabricate a shingle for sub-n-gram docs where
+    * the DuckDB oracle's `generate_series(1, 0)` yields none). */
+  def wordShingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol), explode(expr(
+        s"""CASE WHEN size(__w) >= $n
+            THEN array_distinct(transform(sequence(1, size(__w) - ${n - 1}), i -> concat_ws(' ', slice(__w, i, $n))))
+            ELSE cast(array() AS array<string>) END""")).as("shingle"))
+
   /** Near-dup candidate pairs by exact word-shingle Jaccard >= threshold,
     * blocked by the shared-shingle inverted index (no O(n²) enumeration). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
                         maxShingleDf: Long = Linking.DefaultMaxShingleDf): DataFrame = {
-    val sh = Linking.capShingleDf(
-      docs.select(col("doc_id"), explode(wordShingles("text")).as("shingle")), maxShingleDf)
+    val sh = Linking.capShingleDf(wordShingleRows(docs, "doc_id", "text"), maxShingleDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -53,8 +66,8 @@ object Dedup {
     * key, so the exchange is reused. */
   def minhashClusters(docs: DataFrame): DataFrame = {
     val sigs = Linking.minhashSignaturesFrom(
-      docs.select(col("doc_id").cast("string").as("doc_id"),
-        explode(wordShingles("text")).as("shingle")),
+      wordShingleRows(docs.select(col("doc_id").cast("string").as("doc_id"), col("text")),
+        "doc_id", "text"),
       "doc_id")
     val buckets = sigs.select(col("doc_id"), explode(array(Linking.bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bandKey"))

@@ -37,14 +37,27 @@ object ConnectedComponents {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  /** Default ceiling for the driver fast path: above it, the distributed
+    * large-star/small-star rounds run. 10⁶ two-string edges is ~100 MB of
+    * driver heap — comfortably bounded, and far below where the distributed
+    * path's per-round scheduling overhead stops dominating. */
+  val DriverEdgeLimit = 1000000L
+
   /** @param edges DataFrame with string columns (a, b); direction ignored.
+    * @param driverEdgeLimit when the deduplicated edge count is at or below
+    *        this, components are computed with a driver-side union-find —
+    *        O(E α(E)) in one collect instead of O(log n) rounds of Spark
+    *        jobs (per-round fixed overhead dominates on small graphs). The
+    *        distributed path is the default above it and at cluster scale;
+    *        both produce identical labels (ConnectedComponentsSpec pins it).
     * @return (node, component) for every node incident to an edge;
     *         component = lexicographic min node id of the component.
     * @throws IllegalStateException if the fixpoint is not reached within
     *         maxIter — silently wrong canonical labels are worse than a
     *         failed job at any scale.
     */
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 25,
+          driverEdgeLimit: Long = DriverEdgeLimit): DataFrame = {
     val input = edges.select(col("a").cast("string").as("u"), col("b").cast("string").as("v"))
       .filter(col("u") =!= col("v"))
     val allNodes = input.select(col("u").as("node"))
@@ -55,6 +68,8 @@ object ConnectedComponents {
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint(true)
+
+    if (g.count() <= driverEdgeLimit) return driverUnionFind(g)
 
     var iter = 0
     var converged = false
@@ -93,5 +108,33 @@ object ConnectedComponents {
       .select(col("u").as("node"), col("component"))
     allNodes.join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** Driver-side union-find over an already-deduplicated, bounded edge
+    * frame (see [[run]]'s `driverEdgeLimit` guard). Path compression +
+    * union by attaching the lexicographically larger root under the
+    * smaller, so the root IS the component's min label. */
+  private def driverUnionFind(g: DataFrame): DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    val es = g.as[(String, String)].collect()
+    val parent = new java.util.HashMap[String, String]()
+    def find(x0: String): String = {
+      var x = x0
+      while (parent.get(x) != x) {
+        parent.put(x, parent.get(parent.get(x))) // path halving
+        x = parent.get(x)
+      }
+      x
+    }
+    es.foreach { case (u, v) =>
+      if (!parent.containsKey(u)) parent.put(u, u)
+      if (!parent.containsKey(v)) parent.put(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
+    }
+    val rows = parent.keySet().toArray(Array.empty[String]).toSeq
+      .map(n => (n, find(n)))
+    spark.createDataFrame(rows).toDF("node", "component")
   }
 }

@@ -19,29 +19,35 @@ class ConnectedComponentsSpec extends SparkSuite {
     byRoot.flatMap { case (_, ms) => val mn = ms.min; ms.map(_ -> mn) }
   }
 
-  test("chain + separate component") {
+  test("chain + separate component (both the driver and the distributed path)") {
     import spark.implicits._
     val edges = Seq(("x", "y"), ("y", "z"), ("p", "q")).toDF("a", "b")
-    val got = ConnectedComponents.run(edges).as[(String, String)].collect().toMap
-    assert(got == Map("x" -> "x", "y" -> "x", "z" -> "x", "p" -> "p", "q" -> "p"))
+    val expect = Map("x" -> "x", "y" -> "x", "z" -> "x", "p" -> "p", "q" -> "p")
+    val driver = ConnectedComponents.run(edges).as[(String, String)].collect().toMap
+    val dist = ConnectedComponents.run(edges, driverEdgeLimit = 0)
+      .as[(String, String)].collect().toMap
+    assert(driver == expect && dist == expect)
   }
 
-  test("property: matches union-find oracle on random graphs (seeded)") {
+  test("property: both paths match the union-find oracle on random graphs (seeded)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
     (1 to 5).foreach { trial =>
       val es = List.fill(60)((f"n${rnd.nextInt(40)}%02d", f"n${rnd.nextInt(40)}%02d"))
       val real = es.filter { case (a, b) => a != b }
-      val got = ConnectedComponents.run(real.toDF("a", "b")).as[(String, String)].collect().toMap
-      assert(got == oracle(real), s"trial $trial")
+      val driver = ConnectedComponents.run(real.toDF("a", "b")).as[(String, String)].collect().toMap
+      val dist = ConnectedComponents.run(real.toDF("a", "b"), driverEdgeLimit = 0)
+        .as[(String, String)].collect().toMap
+      assert(driver == oracle(real), s"trial $trial (driver fast path)")
+      assert(dist == oracle(real), s"trial $trial (distributed path)")
     }
   }
 
-  test("long path converges within iteration budget (log-round behavior)") {
+  test("long path converges within iteration budget (log-round behavior, distributed path)") {
     import spark.implicits._
     val n = 64
     val edges = (0 until n - 1).map(i => (f"v$i%03d", f"v${i + 1}%03d")).toDF("a", "b")
-    val got = ConnectedComponents.run(edges).as[(String, String)].collect()
+    val got = ConnectedComponents.run(edges, driverEdgeLimit = 0).as[(String, String)].collect()
     assert(got.length == n)
     assert(got.forall(_._2 == "v000"))
   }
