@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.pipeline.{ConnectedComponents, Linking}
 
@@ -16,10 +16,6 @@ object Dedup {
   def exactClusters(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
-
-  /** Word 5-gram shingles of a text column (pure Catalyst). */
-  def wordShingles(c: String, n: Int = 5): Column =
-    expr(s"array_distinct(transform(sequence(1, greatest(size(split($c, ' ')) - ${n - 1}, 0)), i -> concat_ws(' ', slice(split($c, ' '), i, $n))))")
 
   /** Exploded (id, shingle) word-n-gram rows with the token array
     * materialized ONCE per document: higher-order functions are interpreted

@@ -100,6 +100,19 @@ object Materialize {
       .format("parquet")
       .saveAsTable(table)
 
+  /** N-Triples text sink — the line-based interchange serialization the
+    * reference ecosystem round-trips through (its quad streams feed
+    * N-Triples writers downstream). The subj/pred/obj columns already carry
+    * canonical term text (graft.rdf.Terms ntriples rendering), so the sink
+    * is a single codegen'd concat + text write; `sortWithinPartitions`
+    * keeps each output file deterministically ordered without a global
+    * sort's single-reducer bottleneck. */
+  def ntriples(rows: DataFrame, dir: String): Unit =
+    rows.filter(col("error").isNull)
+      .select(concat_ws(" ", col("subj"), col("pred"), col("obj"), lit(".")).as("value"))
+      .sortWithinPartitions("value")
+      .write.mode("overwrite").text(dir)
+
   /** Materialize the triple table: pred_bucket partitions on disk, rows
     * co-located and sorted by subject within files. */
   def triples(rows: DataFrame, dir: String, subjBuckets: Int = 64): StageResult = {

@@ -92,6 +92,21 @@ class PipelineSpec extends SparkSuite {
     assert(r.getLong(0) >= r.getInt(1) && r.getInt(2) >= 1)
   }
 
+  test("ntriples text sink: canonical line-per-triple output, parse round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("nt_sink").toString
+    val parsed = ParseStage.parsedTranscripts(spark, "/root/testdata/sf0.001")
+      .filter(col("turn_idx") === 0) // deterministic subset
+    Materialize.ntriples(parsed.toDF(), dir)
+    val lines = spark.read.text(dir).as[String].collect()
+    assert(lines.nonEmpty && lines.forall(_.endsWith(" .")))
+    // every line is exactly "<subj> <pred> <obj> ." over the canonical terms
+    val expected = parsed.filter(col("error").isNull)
+      .select(concat_ws(" ", col("subj"), col("pred"), col("obj"), lit(".")))
+      .as[String].collect().sorted.toSeq
+    assert(lines.sorted.toSeq == expected)
+  }
+
   test("canonical-map broadcast is size-guarded: above the ceiling the join is not broadcast") {
     import spark.implicits._
     val mentions = Seq(("m1", "c-1", 1), ("m2", "c-1", 3), ("m3", "c-2", 1))

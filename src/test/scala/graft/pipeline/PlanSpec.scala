@@ -52,6 +52,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("shingle DF cap plans as an anti-join; no cartesian products anywhere in blocking") {
+    assert(plan(q("dedup_ngram_pairs")).contains("LeftAnti"))
+    // every blocking/candidate path must be an equi-join shape — a
+    // CartesianProduct here is the O(n²) plan the whole design avoids
+    Seq("dedup_ngram_pairs", "dedup_minhash", "dedup_simhash",
+        "kg_link_edges", "kg_lsh_candidates", "sim_lsh_topk").foreach { name =>
+      assert(!plan(q(name)).contains("CartesianProduct"), name)
+    }
+  }
+
   test("MinHash signature aggregation is partial (map-side combine)") {
     val p = plan(Linking.lshBuckets(Ner.mentionUniverse(Transcripts.transcripts(spark, sfDir))))
     assert(p.contains("partial_min"), p)
