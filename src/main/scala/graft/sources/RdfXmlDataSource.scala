@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -70,16 +70,52 @@ final class RdfXmlTable(options: CaseInsensitiveStringMap) extends Table with Su
 }
 
 final class RdfXmlScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = RdfXmlTable.Schema
+  private var pathFilters: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new RdfXmlScan(options, required)
+
+  /** Filter pushdown on the `path` lineage column prunes FILES at planning
+    * time — the partition-pruning analogue for a file-per-document source
+    * (at corpus scale a `path` predicate must never require parsing every
+    * document just to drop its rows). Conservative contract: all filters
+    * are also returned as residuals, so Spark re-evaluates them per row and
+    * pruning can never change semantics. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pathFilters = filters.filter(RdfXmlScan.isPathFilter)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pathFilters
+  override def build(): Scan = new RdfXmlScan(options, required, pathFilters)
 }
 
-final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType) extends Scan with Batch {
+object RdfXmlScan {
+  private[sources] def isPathFilter(f: Filter): Boolean = f match {
+    case EqualTo("path", _) => true
+    case In("path", _) => true
+    case StringStartsWith("path", _) => true
+    case StringEndsWith("path", _) => true
+    case StringContains("path", _) => true
+    case _ => false
+  }
+
+  private[sources] def pathMatches(path: String, filters: Array[Filter]): Boolean =
+    filters.forall {
+      case EqualTo(_, v) => path == String.valueOf(v)
+      case In(_, vs) => vs.exists(v => path == String.valueOf(v))
+      case StringStartsWith(_, v) => path.startsWith(v)
+      case StringEndsWith(_, v) => path.endsWith(v)
+      case StringContains(_, v) => path.contains(v)
+      case _ => true
+    }
+}
+
+final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType,
+                       pathFilters: Array[Filter] = Array.empty) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"RdfXmlScan(${options.get("path")})"
+  override def description(): String =
+    s"RdfXmlScan(${options.get("path")}, pushedPathFilters=[${pathFilters.mkString(", ")}])"
 
   /** The session's Hadoop configuration (spark.hadoop.* props, object-store
     * credentials, HA nameservices) merged with the scan options, captured at
@@ -103,6 +139,7 @@ final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType) 
     }
     val files = list(new Path(dir))
       .filter(f => !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .filter(f => RdfXmlScan.pathMatches(f.getPath.toString, pathFilters))
       .sortBy(_.getPath.toString)
     val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[String]]
     var binBytes = Long.MaxValue

@@ -77,6 +77,26 @@ class RdfXmlSourceSpec extends SparkSuite {
     assert(packed.rdd.getNumPartitions == 1)
   }
 
+  test("path filters push down to file pruning: only matching files are planned") {
+    val dir = writeCorpus()
+    def read() = spark.read.format("rdfxml")
+      .option("baseIRI", "http://base.org/")
+      .option("targetPartitionBytes", "1") // one file per partition → partition count = file count
+      .load(dir)
+    assert(read().rdd.getNumPartitions == 4)
+    val filtered = read().filter(col("path").endsWith("a.rdf"))
+    // pruned at planning: one input partition, not four parsed-then-filtered
+    assert(filtered.rdd.getNumPartitions == 1)
+    val rows = filtered.collect()
+    assert(rows.length == 2 && rows.forall(_.getAs[String]("path").endsWith("a.rdf")))
+    // the scan advertises the pushed filter
+    val leaf = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("pushedPathFilters=[StringEndsWith(path,a.rdf)]"), leaf)
+    // non-path filters are untouched (and still correct)
+    val nonPath = read().filter(col("obj_type") === "literal").collect()
+    assert(nonPath.nonEmpty && nonPath.forall(_.getAs[String]("obj_type") == "literal"))
+  }
+
   test("rdfxml scan ships the session Hadoop configuration, overlaid with scan options") {
     val dir = writeCorpus()
     spark.sparkContext.hadoopConfiguration.set("graft.probe.ctx", "from-context")
