@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot relational paths (SURVEY §4.2:
@@ -21,12 +22,118 @@ object ExprHelpers {
   /** FNV-1a over the UTF-16 chars of the string — the exact hash
     * `graft.pipeline.Linking.fnv1a` computes on the Scala side, so pure-JVM
     * consumers and the Catalyst pipeline agree on every signature. */
-  def fnv1a64(s: UTF8String): Long = {
-    val str = s.toString
+  def fnv1a64(s: UTF8String): Long = fnv1a64(s.toString)
+
+  def fnv1a64(str: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < str.length) { h ^= str.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
     h
+  }
+
+  /** Whole MinHash signature of a shingle array in one pass — the per-ROW
+    * form of the signature `graft.pipeline.Linking.signatureOf` defines
+    * (identical values, pinned in LinkingSpec). Computing the signature
+    * per row instead of exploding to (id, shingle) rows and min-aggregating
+    * removes the signature stage's shuffle entirely: at corpus scale the
+    * exploded frame is ~10³ rows per document, and a narrow map-only
+    * projection is the shape that survives 100 TB. Null array elements are
+    * skipped; an empty array yields the identity signature (callers filter
+    * empty shingle sets to keep parity with the exploded path, where such
+    * documents simply have no rows). */
+  def minhashSig(arr: ArrayData): ArrayData = {
+    val seeds = graft.pipeline.Linking.HashSeeds
+    val sig = Array.fill(seeds.length)(Long.MaxValue)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val x = fnv1a64(arr.getUTF8String(j))
+        var i = 0
+        while (i < seeds.length) {
+          var z = x ^ seeds(i)
+          z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+          z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+          z ^= (z >>> 33)
+          if (z < sig(i)) sig(i) = z
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over the whitespace tokens of the text — bit-for-bit the
+    * loop `graft.ops.Dedup` previously ran in a typed map (Java `split(' ')`
+    * semantics: trailing empty tokens dropped, matching the DuckDB oracle).
+    * As a native expression the signature stays inside whole-stage codegen:
+    * no SerializeFromObject / typed-object barrier on the dedup hot path. */
+  def simhash64(text: UTF8String): Long = {
+    val counts = new Array[Int](64)
+    text.toString.split(' ').foreach { tok =>
+      val h = fnv1a64(tok)
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Word n-gram shingles — value-identical to the Catalyst chain
+    * `CASE WHEN size(split(text, ' ')) >= n THEN array_distinct(transform(
+    * sequence(1, size - n + 1), i -> concat_ws(' ', slice(split, i, n))))
+    * ELSE array() END` that defines the semantics (and that the DuckDB
+    * oracles mirror): split on a single space KEEPS empty tokens (Spark's
+    * `split` uses limit -1), shingles join with a single space, and
+    * array_distinct preserves first-occurrence order. The Catalyst chain is
+    * two interpreted lambdas allocating a slice array and a concat per
+    * shingle; this is one fused loop. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    var k = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Left-to-right double-precision dot product of two numeric arrays —
+    * bit-identical to the Catalyst fold
+    * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)), 0.0, _ + _)`
+    * (same element order, same double adds), which the DuckDB oracles mirror
+    * as `list_reduce(list_transform(list_zip(a, b), …))`. That fold is a
+    * CodegenFallback higher-order chain interpreting two lambdas and
+    * allocating an intermediate array per row; this is one fused loop.
+    * Mirrors the fold's null semantics: zip_with pads the shorter array with
+    * null and null poisons the sum, so a length mismatch or a null element
+    * yields null. */
+  def dotF64(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
   }
 
   /** RFC-3986-style resolution with the reference's pinned edge semantics
@@ -71,6 +178,65 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(c)
 }
 
+/** `minhash_sig(array<string>)` → the full 32-long MinHash signature per row
+  * (see [[ExprHelpers.minhashSig]]): the shuffle-free signature stage. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ExprHelpers.minhashSig(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.minhashSig($c)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
+}
+
+/** `simhash64(text)` → 64-bit SimHash (see [[ExprHelpers.simhash64]]). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    ExprHelpers.simhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** `word_shingles(text, n)` → array<string> of word n-gram shingles (see
+  * [[ExprHelpers.wordShingles]]). `n` is a plan-time constant. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ExprHelpers.wordShingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.wordShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+/** `dot_f64(a, b)` → double dot product (see [[ExprHelpers.dotF64]]).
+  * Accepts array<float> or array<double> on either side. */
+case class DotF64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"dot_f64: unsupported input type $t")
+  }
+  @transient private lazy val aFloat = isFloat(left)
+  @transient private lazy val bFloat = isFloat(right)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.dotF64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotRes")
+      s"""
+         |java.lang.Double $r = graft.functions.ExprHelpers.dotF64($a, $b, $aFloat, $bFloat);
+         |${ev.isNull} = $r == null;
+         |${ev.value} = ${ev.isNull} ? -1.0 : $r.doubleValue();
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF64 =
+    copy(left = l, right = r)
+}
+
 /** `resolve_iri(value, base)` — reference R20 as a relational scalar
   * (reference `valueToUri`, `lib/RdfXmlParser.ts:161-163`). Null (not error)
   * on unresolvable input. */
@@ -95,6 +261,10 @@ object GraftFunctions {
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}
   def fmix64(c: Column): Column = column(Fmix64(expression(c)))
   def fnv1a64(c: Column): Column = column(Fnv1a64(expression(c)))
+  def minhash_sig(c: Column): Column = column(MinHashSig(expression(c)))
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def dot_f64(a: Column, b: Column): Column = column(DotF64(expression(a), expression(b)))
+  def word_shingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
   def resolve_iri(v: Column, base: Column): Column =
     column(ResolveIri(expression(v), expression(base)))
 
@@ -103,6 +273,9 @@ object GraftFunctions {
     import org.apache.spark.sql.GraftSqlBridge.registerTemp
     registerTemp(spark, "fmix64", es => Fmix64(es.head))
     registerTemp(spark, "fnv1a64", es => Fnv1a64(es.head))
+    registerTemp(spark, "minhash_sig", es => MinHashSig(es.head))
+    registerTemp(spark, "simhash64", es => SimHash64(es.head))
+    registerTemp(spark, "dot_f64", es => DotF64(es.head, es(1)))
     registerTemp(spark, "resolve_iri", es => ResolveIri(es.head, es(1)))
   }
 }
@@ -117,6 +290,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[Fmix64].getName, "fmix64"), es => Fmix64(es.head)))
     e.injectFunction((FunctionIdentifier("fnv1a64"),
       new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"), es => Fnv1a64(es.head)))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"), es => MinHashSig(es.head)))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"), es => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotF64].getName, "dot_f64"), es => DotF64(es.head, es(1))))
     e.injectFunction((FunctionIdentifier("resolve_iri"),
       new ExpressionInfo(classOf[ResolveIri].getName, "resolve_iri"), es => ResolveIri(es.head, es(1))))
   }

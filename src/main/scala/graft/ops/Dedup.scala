@@ -25,11 +25,33 @@ object Dedup {
     * counts DOWN and would fabricate a shingle for sub-n-gram docs where
     * the DuckDB oracle's `generate_series(1, 0)` yields none). */
   def wordShingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame =
+    wordShingleArrays(docs, idCol, textCol, n)
+      .select(col(idCol), explode(col("shingles")).as("shingle"))
+
+  /** (id, shingles: array<string>) — the un-exploded form, one row per doc.
+    * Feeds the per-row `minhash_sig` path, which needs the whole set in one
+    * value. Sub-n-gram docs are dropped up front by an EXACT cheap predicate
+    * on the raw text (token count = space count + 1, since `split` keeps
+    * empty tokens): filtering on the derived array instead would get
+    * predicate-pushed through the projection and duplicate the shingle
+    * computation into the filter. The shingles themselves are the native
+    * `word_shingles` expression — one fused codegen loop, value-identical to
+    * the Catalyst CASE/transform chain in [[wordShingleArraysFold]], which
+    * stays as the authoritative semantic (it is what the DuckDB oracles
+    * mirror; DedupSpec pins equality). */
+  def wordShingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame =
+    docs.filter(length(col(textCol)) - length(translate(col(textCol), " ", "")) >= n - 1)
+      .select(col(idCol), graft.functions.GraftFunctions.word_shingles(col(textCol), n).as("shingles"))
+
+  /** The defining Catalyst formulation of [[wordShingleArrays]]'s shingle
+    * column (interpreted higher-order chain — the cross-check, not the hot
+    * path). */
+  def wordShingleArraysFold(docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame =
     docs.select(col(idCol), split(col(textCol), " ").as("__w"))
-      .select(col(idCol), explode(expr(
+      .select(col(idCol), expr(
         s"""CASE WHEN size(__w) >= $n
             THEN array_distinct(transform(sequence(1, size(__w) - ${n - 1}), i -> concat_ws(' ', slice(__w, i, $n))))
-            ELSE cast(array() AS array<string>) END""")).as("shingle"))
+            ELSE cast(array() AS array<string>) END""").as("shingles"))
 
   /** Near-dup candidate pairs by exact word-shingle Jaccard >= threshold,
     * blocked by the shared-shingle inverted index (no O(n²) enumeration). */
@@ -61,10 +83,10 @@ object Dedup {
     * hub aggregate and the member join share the (band, bandKey) shuffle
     * key, so the exchange is reused. */
   def minhashClusters(docs: DataFrame): DataFrame = {
-    val sigs = Linking.minhashSignaturesFrom(
-      wordShingleRows(docs.select(col("doc_id").cast("string").as("doc_id"), col("text")),
+    val sigs = Linking.minhashSignaturesOf(
+      wordShingleArrays(docs.select(col("doc_id").cast("string").as("doc_id"), col("text")),
         "doc_id", "text"),
-      "doc_id")
+      "doc_id", "shingles")
     val buckets = sigs.select(col("doc_id"), explode(array(Linking.bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bandKey"))
     val hubs = buckets.groupBy("band", "bandKey").agg(min(col("doc_id")).as("a"))
@@ -76,26 +98,13 @@ object Dedup {
       .select(col("node").as("doc_id"), col("component").as("cluster"))
   }
 
-  /** 64-bit SimHash over whitespace tokens (typed map — bit arithmetic in
-    * the JVM). Near-dup when hamming distance is small. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val counts = new Array[Int](64)
-        text.split(' ').foreach { tok =>
-          val h = Linking.fnv1a(tok)
-          var b = 0
-          while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
-        }
-        var sig = 0L
-        var b = 0
-        while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
-        (id, sig)
-      }
-      .toDF("doc_id", "simhash")
-  }
+  /** 64-bit SimHash over whitespace tokens — the native `simhash64`
+    * expression (graft.functions.SimHash64), so the signature is a narrow
+    * codegen projection with no typed-object barrier. Near-dup when hamming
+    * distance is small. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash64(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs: 4×16-bit band blocking, then exact hamming
     * verification (`bit_count` is codegen'd). Bucket membership is capped

@@ -12,8 +12,15 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** Dot product of two array columns in double precision, left-to-right
-    * fold — bit-identical across engines that evaluate in index order. */
+    * fold — bit-identical across engines that evaluate in index order.
+    * Native codegen expression (graft.functions.DotF64); [[dotFold]] is the
+    * same fold as interpreted Catalyst higher-order functions, kept as the
+    * cross-check SimilaritySpec pins bit-equality against. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dot_f64(a, b)
+
+  /** The fold [[dot]] is defined by, as Catalyst `aggregate(zip_with(…))`. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

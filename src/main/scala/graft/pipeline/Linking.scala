@@ -155,15 +155,35 @@ object Linking {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** MinHash signatures as a pure-Catalyst plan: native `fnv1a64`/`fmix64`
-    * expressions (graft.functions — real codegen, wrapping JVM long
-    * arithmetic, no ANSI escape hatches) under 32 `min()` aggregates. The
-    * whole signature computation stays inside whole-stage codegen with
-    * map-side partial aggregation — one shuffle of (mention, 32 longs).
-    * [[MinHashAgg]] computes the identical signature as a typed Aggregator;
-    * LinkingSpec pins their equality. */
+  /** MinHash signatures as a SHUFFLE-FREE narrow projection: the native
+    * `minhash_sig` expression (graft.functions.MinHashSig — real codegen,
+    * wrapping JVM long arithmetic, no ANSI escape hatches) computes the full
+    * 32-long signature per row from the shingle array, so the signature
+    * stage is a map-only scan→project with no exchange at any corpus scale.
+    * Rows whose shingle set is empty are dropped — identical to the exploded
+    * path, where such rows simply contribute no (id, shingle) rows.
+    * [[minhashSignaturesFrom]] (explode + 32 partial min-aggregates) and
+    * [[MinHashAgg]] (typed Aggregator) compute the identical signature;
+    * LinkingSpec pins three-way equality. */
   def minhashSignatures(mentions: DataFrame): DataFrame =
-    minhashSignaturesFrom(mentionShingles(mentions), "mention")
+    minhashSignaturesOf(
+      // Exact cheap pre-filter: shinglesExpr is empty iff length < ShingleLen.
+      // Filtering on the raw column (not size(__sh) > 0) matters: a predicate
+      // on the derived array gets pushed through the projection and
+      // DUPLICATES the interpreted transform chain into the filter.
+      mentions.filter(length(col("mention")) >= ShingleLen)
+        .select(col("mention"), shinglesExpr("mention").as("__sh")),
+      "mention", "__sh")
+
+  /** Per-row signatures from any (id, shingle-array) frame (see
+    * [[minhashSignatures]]). Caller contract: rows with EMPTY shingle arrays
+    * must already be excluded (cheap equivalents: `length >= ShingleLen` for
+    * char shingles, space-count >= n-1 for word shingles) — an empty array
+    * would otherwise yield the identity signature instead of no row. */
+  def minhashSignaturesOf(df: DataFrame, idCol: String, shinglesCol: String): DataFrame = {
+    import graft.functions.{GraftFunctions => F}
+    df.select(col(idCol), F.minhash_sig(col(shinglesCol)).as("sig"))
+  }
 
   /** Same, over any pre-exploded (id, shingle) frame. */
   def minhashSignaturesFrom(exploded: DataFrame, idCol: String): DataFrame = {

@@ -37,6 +37,42 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("native word_shingles equals the defining Catalyst transform chain (incl. empty-token edges)") {
+    import spark.implicits._
+    val edge = Seq((9001L, "a  b c d e  f"), (9002L, "x y"), (9003L, " lead"),
+      (9004L, "trail "), (9005L, "a a a a a a a a")).toDF("doc_id", "text")
+    val corpus = docs.select(col("doc_id"), col("text")).unionAll(edge)
+    val native = Dedup.wordShingleArrays(corpus, "doc_id", "text")
+      .as[(Long, Seq[String])].collect().toMap
+    val fold = Dedup.wordShingleArraysFold(corpus, "doc_id", "text")
+      .as[(Long, Seq[String])].collect().toMap
+    // the fold keeps sub-n docs as empty arrays; the native path drops them
+    assert(native == fold.filter(_._2.nonEmpty))
+    assert(native.contains(9001L) && !native.contains(9002L) && native(9005L).size == 1)
+  }
+
+  test("native dot_f64 is bit-identical to the Catalyst aggregate(zip_with) fold") {
+    import spark.implicits._
+    // real float embeddings × a double-literal plane: both operand kinds
+    val plane = Similarity.planes(1, embeddings.selectExpr("size(first(embedding))").first().getInt(0))(0)
+    val planeCol = array(plane.toIndexedSeq.map(v => lit(v)): _*)
+    val both = embeddings.limit(500).select(
+      Similarity.dot(col("embedding"), col("embedding")).as("native"),
+      Similarity.dotFold(col("embedding"), col("embedding")).as("fold"),
+      Similarity.dot(col("embedding"), planeCol).as("native_p"),
+      Similarity.dotFold(col("embedding"), planeCol).as("fold_p"))
+      .as[(Double, Double, Double, Double)].collect()
+    both.foreach { case (n, f, np, fp) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) == java.lang.Double.doubleToRawLongBits(f))
+      assert(java.lang.Double.doubleToRawLongBits(np) == java.lang.Double.doubleToRawLongBits(fp))
+    }
+    // null semantics: zip_with pads a length mismatch with null → null sum
+    val mism = spark.range(1).select(
+      graft.functions.GraftFunctions.dot_f64(
+        array(lit(1.0)), array(lit(1.0), lit(2.0))).as("d"))
+    assert(mism.first().isNullAt(0))
+  }
+
   test("LSH top-k recall vs brute force") {
     import spark.implicits._
     val brute = Similarity.bruteTopK(embeddings, 16, 5).as[(Long, Long, Int)].collect()

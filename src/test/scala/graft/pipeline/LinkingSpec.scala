@@ -79,6 +79,10 @@ class LinkingSpec extends SparkSuite {
       .agg(Linking.MinHashAgg.toColumn.name("sig"))
       .collect().map { case (m, sig) => m -> sig.toSeq }.toMap
     assert(catalyst == viaAgg)
+
+    val viaExploded = Linking.minhashSignaturesFrom(Linking.mentionShingles(univ), "mention")
+      .as[(String, Seq[Long])].collect().toMap
+    assert(catalyst == viaExploded)
   }
 
   test("shinglesExpr yields no shingles for strings shorter than the shingle length") {

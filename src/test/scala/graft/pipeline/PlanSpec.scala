@@ -62,25 +62,40 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("MinHash signature aggregation is partial (map-side combine)") {
-    val p = plan(Linking.lshBuckets(Ner.mentionUniverse(Transcripts.transcripts(spark, sfDir))))
-    assert(p.contains("partial_min"), p)
+  test("MinHash signature stage is shuffle-free (per-row minhash_sig, no Exchange)") {
+    import spark.implicits._
+    val p = plan(Linking.minhashSignatures(Seq("Supplier#3").toDF("mention")))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("HashAggregate"), p) // no agg — the signature is a projection
   }
 
-  test("MinHash signatures stay in whole-stage codegen (HashAggregate, no typed-object barrier)") {
+  test("MinHash/SimHash signatures stay in whole-stage codegen (no typed-object barrier)") {
     import spark.implicits._
     val df = Linking.minhashSignatures(Seq("Supplier#3").toDF("mention"))
     val p = plan(df)
-    assert(p.contains("HashAggregate"), p)
     assert(!p.contains("SerializeFromObject") && !p.contains("MapGroups"), p)
+    val ps = plan(graft.ops.Dedup.simhash(Seq((1L, "a b")).toDF("doc_id", "text")))
+    assert(!ps.contains("SerializeFromObject") && !ps.contains("Exchange"), ps)
     // AQE defers codegen until execution — build the same plan with AQE off
     // to prove the native expressions compile into whole-stage generated code.
+    // (Range-backed input: ConvertToLocalRelation constant-folds a local Seq
+    // through the projection at optimize time, leaving no codegen stage. The
+    // shingle `transform` lambda is a CodegenFallback higher-order function —
+    // that projection is interpreted either way, exactly as it was feeding
+    // the old Generate/explode — so the codegen proof uses a CreateArray
+    // input: what matters is that the NATIVE expressions compile.)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val cg = Linking.minhashSignatures(Seq("Supplier#3").toDF("mention"))
+      import org.apache.spark.sql.functions.{array, concat, lit, col}
+      import graft.functions.{GraftFunctions => F}
+      val ranged = spark.range(4).select(concat(lit("Supplier#"), col("id")).as("mention"))
+      val cg = ranged
+        .select(F.minhash_sig(array(col("mention"))).as("sig"),
+          F.simhash64(col("mention")).as("sh"))
         .queryExecution.explainString(ExplainMode.fromString("codegen"))
       assert(cg.contains("WholeStageCodegen"), cg.take(2000))
-      assert(cg.contains("fnv1a64"), cg.take(2000))
+      assert(cg.contains("minhashSig"), cg.take(2000))
+      assert(cg.contains("simhash64"), cg.take(2000))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
