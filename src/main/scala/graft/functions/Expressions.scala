@@ -111,6 +111,30 @@ object ExprHelpers {
     new GenericArrayData(out)
   }
 
+  /** Character n-gram shingles of the lowercased string — value-identical to
+    * the Catalyst chain `CASE WHEN length(s) >= n THEN array_distinct(
+    * transform(sequence(1, length(s) - n + 1), i -> substring(lower(s), i, n)))
+    * ELSE array() END` that defines the semantics (and that the DuckDB
+    * oracles mirror). Uses UTF8String.toLowerCase and code-point substrings,
+    * exactly like Spark's `lower`/`substring`, so parity holds beyond ASCII.
+    * Same fused-loop rationale as [[wordShingles]]. */
+  def charShingles(s: UTF8String, n: Int): ArrayData = {
+    val lower = s.toLowerCase
+    val len = lower.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](len * 2)
+    var i = 0
+    while (i + n <= len) {
+      seen.add(lower.substring(i, i + n))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    var k = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Left-to-right double-precision dot product of two numeric arrays —
     * bit-identical to the Catalyst fold
     * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)), 0.0, _ + _)`
@@ -210,6 +234,17 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** `char_shingles(str, n)` → array<string> of lowercased character n-gram
+  * shingles (see [[ExprHelpers.charShingles]]). `n` is a plan-time constant. */
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ExprHelpers.charShingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.charShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
+}
+
 /** `dot_f64(a, b)` → double dot product (see [[ExprHelpers.dotF64]]).
   * Accepts array<float> or array<double> on either side. */
 case class DotF64(left: Expression, right: Expression) extends BinaryExpression {
@@ -265,6 +300,7 @@ object GraftFunctions {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def dot_f64(a: Column, b: Column): Column = column(DotF64(expression(a), expression(b)))
   def word_shingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
+  def char_shingles(c: Column, n: Int): Column = column(CharShingles(expression(c), n))
   def resolve_iri(v: Column, base: Column): Column =
     column(ResolveIri(expression(v), expression(base)))
 

@@ -51,19 +51,30 @@ object Linking {
   }
 
   /** Character n-gram shingle set of the lowercased mention, as a column of
-    * distinct strings (pure Catalyst: sequence → transform → substring).
+    * distinct strings — the DEFINING Catalyst formulation (pure built-ins:
+    * sequence → transform → substring; what the DuckDB oracles mirror).
     * Guarded for strings shorter than the shingle length: Spark's
     * `sequence(1, 0)` counts DOWN ([1, 0]), so an unguarded greatest(…, 0)
     * bound would fabricate a shingle for 1-2 char strings where the DuckDB
-    * oracle's `generate_series(1, 0)` yields none. */
+    * oracle's `generate_series(1, 0)` yields none. The hot paths use the
+    * value-identical native [[shinglesCol]] (LinkingSpec pins equality);
+    * this chain stays as the cross-check. */
   def shinglesExpr(colName: String): Column =
     expr(s"""CASE WHEN length($colName) >= $ShingleLen
       THEN array_distinct(transform(sequence(1, length($colName) - ${ShingleLen - 1}), i -> substring(lower($colName), i, $ShingleLen)))
       ELSE cast(array() AS array<string>) END""")
 
+  /** Native fused-loop form of [[shinglesExpr]] (graft.functions
+    * .CharShingles: UTF8String lowercase + code-point substrings — the same
+    * operations Spark's `lower`/`substring` perform, so parity holds beyond
+    * ASCII). One codegen call per row instead of an interpreted lambda that
+    * allocates a substring per shingle. */
+  def shinglesCol(colName: String): Column =
+    graft.functions.GraftFunctions.char_shingles(col(colName), ShingleLen)
+
   /** Exploded (mention, shingle) pairs for a mention universe. */
   def mentionShingles(mentions: DataFrame): DataFrame =
-    mentions.select(col("mention"), explode(shinglesExpr("mention")).as("shingle"))
+    mentions.select(col("mention"), explode(shinglesCol("mention")).as("shingle"))
 
   /** Exact pairwise n-gram Jaccard over all candidate pairs that share at
     * least one shingle (shingle-inverted-index blocking: the shared-shingle
@@ -167,12 +178,12 @@ object Linking {
     * LinkingSpec pins three-way equality. */
   def minhashSignatures(mentions: DataFrame): DataFrame =
     minhashSignaturesOf(
-      // Exact cheap pre-filter: shinglesExpr is empty iff length < ShingleLen.
-      // Filtering on the raw column (not size(__sh) > 0) matters: a predicate
-      // on the derived array gets pushed through the projection and
-      // DUPLICATES the interpreted transform chain into the filter.
+      // Exact cheap pre-filter: the shingle set is empty iff length <
+      // ShingleLen. Filtering on the raw column (not size(__sh) > 0) matters:
+      // a predicate on the derived array gets pushed through the projection
+      // and DUPLICATES the shingle computation into the filter.
       mentions.filter(length(col("mention")) >= ShingleLen)
-        .select(col("mention"), shinglesExpr("mention").as("__sh")),
+        .select(col("mention"), shinglesCol("mention").as("__sh")),
       "mention", "__sh")
 
   /** Per-row signatures from any (id, shingle-array) frame (see

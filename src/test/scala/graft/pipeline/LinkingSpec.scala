@@ -93,6 +93,19 @@ class LinkingSpec extends SparkSuite {
     assert(got("x").isEmpty && got("ab").isEmpty && got("abc") == Seq("abc"))
   }
 
+  test("native char_shingles equals the defining shinglesExpr chain (case, repeats, non-ASCII)") {
+    import spark.implicits._
+    val univ = (Seq("Supplier#000000003", "Customer#17", "ABCabcABC", "aaaa", "x", "ab",
+      "Ünïcødé Mention", "naïve café") ++
+      spark.read.parquet(s"$sfDir/customer.parquet").select("c_name").as[String].collect().toSeq)
+      .toDF("mention")
+    val pairs = univ.select(col("mention"),
+      Linking.shinglesCol("mention").as("native"),
+      Linking.shinglesExpr("mention").as("fold"))
+      .as[(String, Seq[String], Seq[String])].collect()
+    pairs.foreach { case (m, n, f) => assert(n == f, s"mismatch for '$m'") }
+  }
+
   test("capShingleDf drops shingles above the document-frequency cap") {
     import spark.implicits._
     val sh = Seq(("a", "hot"), ("b", "hot"), ("c", "hot"), ("a", "rare"), ("b", "other"))
