@@ -125,7 +125,10 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+      // hamming filter BEFORE the dedup shuffle: at corpus scale most band
+      // collisions fail the exact test, so the distinct only shuffles
+      // survivors (same result set — dedup and filter commute here)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -79,7 +79,10 @@ object Similarity {
     val candidates = withBuckets.join(broadcast(queries), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("q"))
       .select(col("q"), col("vec_id").as("neighbor"), col("qe"), col("embedding"))
-      .distinct() // OR over tables: dedupe collisions
+      // OR over tables: dedupe collisions on the id pair only — a full
+      // distinct would hash/compare the embedding arrays in the exchange;
+      // both copies carry identical vectors, so any survivor is equivalent
+      .dropDuplicates("q", "neighbor")
     val scored = candidates
       .select(col("q"), col("neighbor"), round(cosine(col("qe"), col("embedding")), 9).as("cos"))
     val w = Window.partitionBy("q").orderBy(desc("cos"), col("neighbor"))
