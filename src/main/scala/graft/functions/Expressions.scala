@@ -119,13 +119,22 @@ object ExprHelpers {
     * exactly like Spark's `lower`/`substring`, so parity holds beyond ASCII.
     * Same fused-loop rationale as [[wordShingles]]. */
   def charShingles(s: UTF8String, n: Int): ArrayData = {
+    // The window COUNT comes from the ORIGINAL string's length while the
+    // window CONTENT indexes the LOWERCASED string — exactly as the chain
+    // does (`length(s)` vs `substring(lower(s), …)`). Lowercasing can change
+    // the length (Turkish İ → i + combining dot), in which case the chain
+    // stops short of the lowered string's end, or clamps windows at it;
+    // parity demands the same here (caught by ExpressionFuzzSpec).
+    val origLen = s.numChars()
+    if (origLen < n) return new GenericArrayData(Array.empty[Any])
     val lower = s.toLowerCase
-    val len = lower.numChars()
-    if (len < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String](len * 2)
+    val lowLen = lower.numChars()
+    val seen = new java.util.LinkedHashSet[UTF8String](origLen * 2)
     var i = 0
-    while (i + n <= len) {
-      seen.add(lower.substring(i, i + n))
+    while (i + n <= origLen) {
+      val from = math.min(i, lowLen)
+      val until = math.min(i + n, lowLen)
+      seen.add(lower.substring(from, until))
       i += 1
     }
     val out = new Array[Any](seen.size)

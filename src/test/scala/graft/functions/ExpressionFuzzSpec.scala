@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.pipeline.{Linking, SparkSuite}
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property parity of the native fused expressions against their DEFINING
+  * Catalyst formulations over adversarial generated inputs. Each native
+  * expression backs a DuckDB-oracle-gated query, so silent divergence on
+  * exotic input (supplementary-plane characters, runs of spaces, empty
+  * tokens, case-folding edge cases) is the residual risk these properties
+  * close. Raw ScalaCheck generators with fixed seeds (no scalatestplus
+  * bridge in the offline cache).
+  */
+class ExpressionFuzzSpec extends SparkSuite {
+
+  // Adversarial text: multiple/leading/trailing spaces, empties, mixed case,
+  // accents, CJK, an astral-plane emoji (UTF-16 surrogate pair), digits.
+  private val textGen: Gen[String] = {
+    val tokens = Gen.oneOf(
+      "", " ", "  ", "a", "B", "ab", "ABC", "café", "Ünï", "猫", "🙂", "x1",
+      "Supplier#3", "the", "THE", "İ", "ß", " ", "word word",
+    )
+    Gen.listOf(tokens).map(_.mkString(" "))
+  }
+
+  private def samples(n: Int): Seq[String] =
+    (0 until n).flatMap(i => textGen(Gen.Parameters.default.withSize(4 + i % 24), Seed(i.toLong))) :+
+      "" :+ " " :+ "a b c d e" :+ "🙂🙂🙂🙂" :+ "a  b  c  d  e  f"
+
+  test("property: word_shingles == defining transform chain on adversarial text") {
+    import spark.implicits._
+    val df = samples(400).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = Dedup.wordShingleArrays(df, "doc_id", "text")
+      .as[(Long, Seq[String])].collect().toMap
+    val fold = Dedup.wordShingleArraysFold(df, "doc_id", "text")
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native == fold.filter(_._2.nonEmpty))
+  }
+
+  test("property: char_shingles == defining shinglesExpr chain on adversarial mentions") {
+    import spark.implicits._
+    val df = samples(400).distinct.toDF("mention")
+    val rows = df.select(col("mention"),
+      Linking.shinglesCol("mention").as("native"),
+      Linking.shinglesExpr("mention").as("fold"))
+      .as[(String, Seq[String], Seq[String])].collect()
+    rows.foreach { case (m, n, f) => assert(n == f, s"mismatch for ${m.take(40)}") }
+  }
+
+  test("property: per-row minhash_sig == exploded min-aggregate signatures") {
+    import spark.implicits._
+    val univ = samples(200).distinct.filter(_.length >= Linking.ShingleLen).toDF("mention")
+    val perRow = Linking.minhashSignatures(univ)
+      .as[(String, Seq[Long])].collect().toMap
+    val exploded = Linking.minhashSignaturesFrom(Linking.mentionShingles(univ), "mention")
+      .as[(String, Seq[Long])].collect().toMap
+    assert(perRow == exploded)
+  }
+
+  test("property: simhash64 expression == pure-Scala simhash loop") {
+    import spark.implicits._
+    val df = samples(300).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = Dedup.simhash(df).as[(Long, Long)].collect().toMap
+    val pure = samples(300).zipWithIndex.map { case (t, i) =>
+      val counts = new Array[Int](64)
+      t.split(' ').foreach { tok =>
+        val h = Linking.fnv1a(tok)
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+      i.toLong -> sig
+    }.toMap
+    assert(native == pure)
+  }
+
+  test("property: dot_f64 == aggregate(zip_with) fold on random float vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1), Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "a", "b")
+    val rows = vecs.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotFold(col("a"), col("b")).as("fold"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, f) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) == java.lang.Double.doubleToRawLongBits(f))
+    }
+  }
+}
