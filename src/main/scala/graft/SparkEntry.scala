@@ -103,6 +103,10 @@ object SparkEntry {
       graft.ops.Dedup.minhashClusters(s.read.parquet(s"$dir/documents.parquet"))),
     "dedup_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"))),
+    // exact substring duplication: sampled k-token-gram anchors, DF-capped,
+    // equi-joined — the "substring dedup" primitive, oracle-gated bit-exactly
+    "dedup_substring" -> ((s, dir) =>
+      graft.ops.Dedup.substringDupPairs(s.read.parquet(s"$dir/documents.parquet"))),
     // the deterministic signature itself IS oracle-able (bit-exact in SQL)
     "dedup_simhash_sig" -> ((s, dir) =>
       graft.ops.Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
@@ -540,6 +544,21 @@ pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
   CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
   FROM scap x JOIN scap y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
 SELECT a, b, hamming FROM pairs WHERE hamming <= 3""",
+
+    // Substring duplication: per-position word-8-gram FNV anchors (the gram
+    // hash equals FNV over the ' '-joined gram string — mirrored exactly),
+    // 1-in-4 content-defined sample ((h & 3) == 0 ⟺ unsigned u % 4 == 0),
+    // DF cap, equi-join on anchor, >= 2 shared anchors.
+    "dedup_substring" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, unnest([array_to_string(w[i:i+7], ' ') for i in generate_series(1, greatest(len(w)-7, 0))]) AS gram FROM w),
+gh AS (SELECT doc_id, ${fnv1aSql("gram")}::UBIGINT AS u FROM g),
+sa AS (SELECT DISTINCT doc_id, u FROM gh WHERE u % 4 = 0),
+kp AS (SELECT u FROM sa GROUP BY u HAVING COUNT(*) <= ${graft.pipeline.Linking.DefaultMaxShingleDf}),
+sc AS (SELECT sa.doc_id, sa.u FROM sa JOIN kp USING (u))
+SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+FROM sc x JOIN sc y ON x.u = y.u AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
 
     // MinHash-LSH dedup clusters: word-5-gram shingles → bit-exact signature
     // chain → md5 band keys → per-bucket STAR edges (same components as the

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -109,6 +110,34 @@ object ExprHelpers {
     val it = seen.iterator()
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Per-POSITION 64-bit FNV-1a hashes of every word n-gram of the text, in
+    * document order (no dedup — position identity matters for substring-
+    * duplication detection). Value-identical to
+    * `transform(sequence(1, size(w) - n + 1), i -> fnv1a64(concat_ws(' ', slice(w, i, n))))`
+    * over `w = split(text, ' ')` but WITHOUT materializing any gram string:
+    * FNV-1a is char-sequential, so hashing token chars with a ' ' between
+    * them equals hashing the joined string. One fused loop per row. */
+  def wordGramHashes(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        val t = toks(i + j)
+        var c = 0
+        while (c < t.length) { h ^= t.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Character n-gram shingles of the lowercased string — value-identical to
@@ -243,6 +272,17 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** `word_gram_hashes(text, n)` → array<long> of per-position word-n-gram
+  * FNV-1a hashes (see [[ExprHelpers.wordGramHashes]]). */
+case class WordGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ExprHelpers.wordGramHashes(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.wordGramHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordGramHashes = copy(child = c)
+}
+
 /** `char_shingles(str, n)` → array<string> of lowercased character n-gram
   * shingles (see [[ExprHelpers.charShingles]]). `n` is a plan-time constant. */
 case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
@@ -310,6 +350,7 @@ object GraftFunctions {
   def dot_f64(a: Column, b: Column): Column = column(DotF64(expression(a), expression(b)))
   def word_shingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
   def char_shingles(c: Column, n: Int): Column = column(CharShingles(expression(c), n))
+  def word_gram_hashes(c: Column, n: Int): Column = column(WordGramHashes(expression(c), n))
   def resolve_iri(v: Column, base: Column): Column =
     column(ResolveIri(expression(v), expression(base)))
 

@@ -98,6 +98,47 @@ object Dedup {
       .select(col("node").as("doc_id"), col("component").as("cluster"))
   }
 
+  /** Default anchor sampling mask for [[substringDupPairs]]: keep gram
+    * positions whose hash has the low `bits` clear — a 1-in-2^bits
+    * content-defined sample (winnowing-style: both documents sample the
+    * SAME positions of a shared substring, unlike random sampling). */
+  val DefaultAnchorMask = 3L // 1 in 4
+
+  /** Per-position sampled substring anchors: (doc_id, pos, h) where `h` is
+    * the FNV-1a hash of the k-token gram starting at token `pos` and the
+    * sample keeps positions with `(h & mask) == 0`. The gram hashes are the
+    * native `word_gram_hashes` expression — one codegen loop per document,
+    * no gram strings materialized — so the anchor index is a narrow
+    * map-side projection of ~tokens/2^bits rows per document. */
+  def substringAnchorRows(docs: DataFrame, k: Int, mask: Long): DataFrame =
+    docs.filter(length(col("text")) - length(translate(col("text"), " ", "")) >= k - 1)
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.word_gram_hashes(col("text"), k)).as(Seq("pos", "h")))
+      .filter(col("h").bitwiseAND(lit(mask)) === 0)
+
+  /** Exact substring-duplication candidates (the "Deduplicating Training
+    * Data" primitive): documents sharing >= `minShared` sampled k-token-gram
+    * anchors. Scale shape: content-defined sampling divides the exploded
+    * index by 2^bits; anchors above the document-frequency cap (corpus
+    * boilerplate) are dropped by the same anti-join-against-the-hot-set
+    * shape as [[Linking.capShingleDf]]; the candidate join is an equi-join
+    * on the anchor hash — never O(n²). Returns (a, b, shared), a < b. */
+  def substringDupPairs(docs: DataFrame, k: Int = 8,
+                        mask: Long = DefaultAnchorMask,
+                        maxAnchorDf: Long = Linking.DefaultMaxShingleDf,
+                        minShared: Long = 2L): DataFrame = {
+    val perDoc = substringAnchorRows(docs.select(col("doc_id"), col("text")), k, mask)
+      .select("doc_id", "h").distinct()
+    val hot = perDoc.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxAnchorDf).select("h")
+    val capped = perDoc.join(hot, Seq("h"), "left_anti")
+    capped.as("x").join(capped.as("y"), Seq("h"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** 64-bit SimHash over whitespace tokens — the native `simhash64`
     * expression (graft.functions.SimHash64), so the signature is a narrow
     * codegen projection with no typed-object barrier. Near-dup when hamming

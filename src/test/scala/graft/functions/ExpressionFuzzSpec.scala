@@ -60,6 +60,22 @@ class ExpressionFuzzSpec extends SparkSuite {
     assert(perRow == exploded)
   }
 
+  test("property: word_gram_hashes == fnv1a64 over the joined gram strings") {
+    import spark.implicits._
+    GraftFunctions.register(spark) // the fold formulation names fnv1a64 in SQL
+    val df = samples(300).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = df.select(col("doc_id"),
+      GraftFunctions.word_gram_hashes(col("text"), 3).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val fold = df.select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(__w) >= 3
+           THEN transform(sequence(1, size(__w) - 2), i -> fnv1a64(concat_ws(' ', slice(__w, i, 3))))
+           ELSE cast(array() AS array<bigint>) END""").as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == fold)
+  }
+
   test("property: simhash64 expression == pure-Scala simhash loop") {
     import spark.implicits._
     val df = samples(300).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")

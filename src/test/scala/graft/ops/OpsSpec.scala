@@ -37,6 +37,27 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("substring dup pairs: shared long span pairs, disjoint docs don't, hot anchors capped") {
+    import spark.implicits._
+    val span = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"$span delta epsilon"),       // shares the 40-token span with doc 1
+      (3L, "one two three four five six seven eight nine ten"), // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.substringDupPairs(corpus, k = 8, mask = 0L, minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // 33 grams of the span are common; with mask=0 every position anchors
+    assert(pairs.head._3 >= 30)
+
+    // a boilerplate anchor present in every doc is dropped by the DF cap
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val many = (0 until 30).map(i => (100L + i, s"$boiler unique$i")).toDF("doc_id", "text")
+    val capped = Dedup.substringDupPairs(many, k = 8, mask = 0L, maxAnchorDf = 10, minShared = 1)
+    assert(capped.count() == 0)
+  }
+
   test("native word_shingles equals the defining Catalyst transform chain (incl. empty-token edges)") {
     import spark.implicits._
     val edge = Seq((9001L, "a  b c d e  f"), (9002L, "x y"), (9003L, " lead"),
