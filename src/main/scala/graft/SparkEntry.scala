@@ -119,6 +119,10 @@ object SparkEntry {
       graft.ops.Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
     "sim_ivf_topk" -> ((s, dir) =>
       graft.ops.Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
+    // scale-path near-dup pairs: LSH bucket blocking + exact-cosine verify
+    // over the FULL table (vs sim_neardup's bounded-cartesian exact tool)
+    "sim_lsh_neardup" -> ((s, dir) =>
+      graft.ops.Similarity.lshNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
     "sim_neardup" -> ((s, dir) => // 0.35 ~ p99.9 of this corpus: non-empty but selective
       graft.ops.Similarity.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35, 200)),
 
@@ -597,6 +601,24 @@ bk AS (SELECT vec_id, t, SUM(CASE WHEN d >= 0 THEN (1 << b) ELSE 0 END) AS bucke
 qb AS (SELECT vec_id AS q, t, bucket FROM bk WHERE vec_id < 16),
 cand AS (SELECT DISTINCT qb.q, b.vec_id AS neighbor FROM bk b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket WHERE b.vec_id <> qb.q),
 nrm AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS n FROM embeddings)${annRankSql(5)}""",
+
+    // LSH near-dup pairs, replayed exactly: same plane literals and bucket
+    // assignment as sim_lsh_topk, the bucket-membership cap, pair dedup,
+    // fold-exact unrounded cosine >= threshold (cosine is identical for
+    // every collision of a pair, so dedup-then-verify equals Spark's
+    // verify-then-dedup).
+    "sim_lsh_neardup" ->
+      s"""WITH pl(t, b, plane) AS ($planesValuesSql),
+dotp AS (SELECT e.vec_id, p.t, p.b, ${dotSql("e.embedding", "p.plane")} AS d FROM embeddings e, pl p),
+bk AS (SELECT vec_id, t, SUM(CASE WHEN d >= 0 THEN (1 << b) ELSE 0 END) AS bucket FROM dotp GROUP BY 1, 2),
+cap AS (SELECT vec_id, t, bucket FROM (
+  SELECT vec_id, t, bucket, row_number() OVER (PARTITION BY t, bucket ORDER BY vec_id) AS rn FROM bk) z
+  WHERE rn <= ${graft.pipeline.Linking.DefaultMaxBucketSize}),
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM cap x JOIN cap y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+nrm AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS n FROM embeddings)
+SELECT c.a, c.b FROM cand c JOIN nrm x ON x.vec_id = c.a JOIN nrm y ON y.vec_id = c.b
+WHERE ${dotSql("x.embedding", "y.embedding")} / (x.n * y.n) >= 0.35""",
 
     // IVF ANN, replayed exactly: codebook = 16 lowest vec_ids, assignment =
     // argmax unrounded cosine (ties → smallest cell, as Spark's

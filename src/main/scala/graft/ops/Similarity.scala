@@ -60,8 +60,12 @@ object Similarity {
     * recall on near-orthogonal data). The candidate join is an equi-join on
     * (table, bucket) instead of a cross join — the scale path. Output
     * matches [[bruteTopK]] (approximate; ScalaTest asserts recall). */
-  def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              tables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+  /** (vec_id, embedding, table, bucket) multi-table hyperplane bucket
+    * assignment — shared by [[lshTopK]] and [[lshNearDupPairs]]. A narrow
+    * projection (native dot against plane literals) plus a `tables`-way
+    * explode; no shuffle. */
+  private[graft] def hyperplaneBuckets(embeddings: DataFrame,
+                                       tables: Int, bitsPerTable: Int): DataFrame = {
     val dim = embeddings.selectExpr("size(first(embedding))").first().getInt(0)
     val ps = planes(tables * bitsPerTable, dim)
     val bucketCols = (0 until tables).map { t =>
@@ -71,9 +75,14 @@ object Similarity {
       }
       struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
     }
-    val withBuckets = embeddings
+    embeddings
       .select(col("vec_id"), col("embedding"), explode(array(bucketCols: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.table"), col("tb.bucket"))
+  }
+
+  def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              tables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+    val withBuckets = hyperplaneBuckets(embeddings, tables, bitsPerTable)
     val queries = withBuckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q"), col("embedding").as("qe"), col("table"), col("bucket"))
     val candidates = withBuckets.join(broadcast(queries), Seq("table", "bucket"))
@@ -140,6 +149,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q", "neighbor", "rank")
+  }
+
+  /** Embedding near-duplicate pairs at scale: hyperplane-LSH bucket blocking
+    * (OR over `tables` hash tables), bucket membership capped (see
+    * [[graft.pipeline.Linking.DefaultMaxBucketSize]]), exact-cosine
+    * verification inside each bucket, threshold filter BEFORE the pair-dedup
+    * shuffle. The scale-path sibling of [[cosineNearDupPairs]] (which is a
+    * bounded cartesian — an exact-verification tool, not a corpus pass):
+    * candidate generation here is an equi-join on (table, bucket), so the
+    * pass is linear in collisions, never O(n²). Approximate — a pair
+    * colliding in no table is missed; OpsSpec asserts recall vs exact. */
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
+                      tables: Int = 8, bitsPerTable: Int = 4,
+                      maxBucketSize: Int = graft.pipeline.Linking.DefaultMaxBucketSize): DataFrame = {
+    val b = graft.pipeline.Linking.capBucket(
+      hyperplaneBuckets(embeddings, tables, bitsPerTable),
+      Seq("table", "bucket"), "vec_id", maxBucketSize)
+    b.as("x").join(b.as("y"), Seq("table", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("a", "b")
+      .distinct()
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, brute force over

@@ -108,6 +108,24 @@ class OpsSpec extends SparkSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("LSH near-dup pairs: subset of exact pairs, reasonable recall, cap bounds fan-out") {
+    import spark.implicits._
+    val exact = Similarity.cosineNearDupPairs(embeddings, 0.35, Long.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(embeddings, 0.35).as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${(lsh -- exact).take(3)}")
+    assert(exact.isEmpty || (lsh.size.toDouble / exact.size) > 0.3,
+      s"recall ${lsh.size}/${exact.size} unreasonably low")
+    // identical vectors always collide (same sign pattern in every table);
+    // a tiny cap bounds the candidate fan-out
+    val dup = embeddings.limit(5).select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = embeddings.limit(5).select("vec_id", "embedding").unionAll(dup)
+    val full = Similarity.lshNearDupPairs(corpus, 0.999999)
+    assert(full.count() == 5)
+    val capped = Similarity.lshNearDupPairs(corpus, 0.999999, maxBucketSize = 1)
+    assert(capped.count() == 0)
+  }
+
   test("IVF top-k: recall vs brute force; full recall when probing all cells") {
     import spark.implicits._
     val brute = Similarity.bruteTopK(embeddings, 16, 5).as[(Long, Long, Int)].collect()
