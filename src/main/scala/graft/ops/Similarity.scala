@@ -31,15 +31,25 @@ object Similarity {
     * `embeddings` with vec_id < nQueries — deterministic subset). The query
     * side is broadcast; the big side streams. Output: (q, neighbor, rank).
     */
+  /** (vec_id, embedding, n) — norms precomputed ONCE per vector. Every
+    * pair-scoring consumer divides a pair dot by `x.n * y.n` instead of
+    * calling [[cosine]] per pair: that recomputes both norm folds O(pairs)
+    * times where O(vectors) suffices — the dominant waste in any bucketed
+    * pair pass. Bit-identical scores (same fold, same division), and the
+    * same shape the DuckDB oracles' `nrm` CTE uses. */
+  private def withNorms(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("n"))
+
   def bruteTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val queries = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q"), col("embedding").as("qe"))
-    val scored = embeddings.join(broadcast(queries), col("vec_id") =!= col("q"))
+    val e = withNorms(embeddings)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q"), col("embedding").as("qe"), col("n").as("qn"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("q"))
       .select(col("q"), col("vec_id").as("neighbor"),
         // round to 9 decimals before ranking: double summation order can
         // differ ~1e-16 between engines; 1e-9 quantization makes the rank
         // comparable without creating real ties
-        round(cosine(col("qe"), col("embedding")), 9).as("cos"))
+        round(dot(col("qe"), col("embedding")) / (col("qn") * col("n")), 9).as("cos"))
     val w = Window.partitionBy("q").orderBy(desc("cos"), col("neighbor"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -75,25 +85,27 @@ object Similarity {
       }
       struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
     }
-    embeddings
-      .select(col("vec_id"), col("embedding"), explode(array(bucketCols: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.table"), col("tb.bucket"))
+    withNorms(embeddings)
+      .select(col("vec_id"), col("embedding"), col("n"), explode(array(bucketCols: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("n"), col("tb.table"), col("tb.bucket"))
   }
 
   def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               tables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
     val withBuckets = hyperplaneBuckets(embeddings, tables, bitsPerTable)
     val queries = withBuckets.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q"), col("embedding").as("qe"), col("table"), col("bucket"))
+      .select(col("vec_id").as("q"), col("embedding").as("qe"), col("n").as("qn"),
+        col("table"), col("bucket"))
     val candidates = withBuckets.join(broadcast(queries), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("q"))
-      .select(col("q"), col("vec_id").as("neighbor"), col("qe"), col("embedding"))
+      .select(col("q"), col("vec_id").as("neighbor"), col("qe"), col("qn"), col("embedding"), col("n"))
       // OR over tables: dedupe collisions on the id pair only — a full
       // distinct would hash/compare the embedding arrays in the exchange;
       // both copies carry identical vectors, so any survivor is equivalent
       .dropDuplicates("q", "neighbor")
     val scored = candidates
-      .select(col("q"), col("neighbor"), round(cosine(col("qe"), col("embedding")), 9).as("cos"))
+      .select(col("q"), col("neighbor"),
+        round(dot(col("qe"), col("embedding")) / (col("qn") * col("n")), 9).as("cos"))
     val w = Window.partitionBy("q").orderBy(desc("cos"), col("neighbor"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -119,31 +131,35 @@ object Similarity {
     // Deterministic codebook: the nCells lowest vec_ids (data-independent
     // choice; a k-means refinement would slot in here without changing the
     // plan shape).
+    val e = withNorms(embeddings)
     val w0 = Window.orderBy("vec_id")
-    val codebook = embeddings.orderBy("vec_id").limit(nCells)
-      .select((row_number().over(w0) - 1).cast("int").as("cell"), col("embedding").as("centroid"))
+    val codebook = e.orderBy("vec_id").limit(nCells)
+      .select((row_number().over(w0) - 1).cast("int").as("cell"),
+        col("embedding").as("centroid"), col("n").as("cn"))
     // argmax cell per vector: max of (score, -cell) picks the smallest cell
     // on score ties — the same first-max-index rule as array_position.
-    val assigned = embeddings.crossJoin(broadcast(codebook))
-      .select(col("vec_id"), col("embedding"),
-        struct(cosine(col("embedding"), col("centroid")).as("s"), (-col("cell")).as("negc")).as("sc"))
+    val assigned = e.crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("embedding"), col("n"),
+        struct((dot(col("embedding"), col("centroid")) / (col("n") * col("cn"))).as("s"),
+          (-col("cell")).as("negc")).as("sc"))
       .groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"), max(col("sc")).as("best"))
-      .select(col("vec_id"), col("embedding"), (-col("best.negc")).cast("int").as("cell"))
+      .agg(first(col("embedding")).as("embedding"), first(col("n")).as("n"), max(col("sc")).as("best"))
+      .select(col("vec_id"), col("embedding"), col("n"), (-col("best.negc")).cast("int").as("cell"))
     // queries probe their nProbe best cells (desc score, then larger cell —
     // the reverse-sorted-struct order of the literal formulation)
     val wq = Window.partitionBy("q").orderBy(desc("cs"), desc("cell"))
-    val queries = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q"), col("embedding").as("qe"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q"), col("embedding").as("qe"), col("n").as("qn"))
       .crossJoin(broadcast(codebook))
-      .select(col("q"), col("qe"), col("cell"), cosine(col("qe"), col("centroid")).as("cs"))
+      .select(col("q"), col("qe"), col("qn"), col("cell"),
+        (dot(col("qe"), col("centroid")) / (col("qn") * col("cn"))).as("cs"))
       .withColumn("pr", row_number().over(wq))
       .filter(col("pr") <= nProbe)
-      .select(col("q"), col("qe"), col("cell"))
+      .select(col("q"), col("qe"), col("qn"), col("cell"))
     val scored = assigned.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("q"))
       .select(col("q"), col("vec_id").as("neighbor"),
-        round(cosine(col("qe"), col("embedding")), 9).as("cos"))
+        round(dot(col("qe"), col("embedding")) / (col("qn") * col("n")), 9).as("cos"))
       .distinct() // a pair can meet in more than one probed cell
     val w = Window.partitionBy("q").orderBy(desc("cos"), col("neighbor"))
     scored.withColumn("rank", row_number().over(w))
@@ -169,7 +185,7 @@ object Similarity {
     b.as("x").join(b.as("y"), Seq("table", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+        (dot(col("x.embedding"), col("y.embedding")) / (col("x.n") * col("y.n"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select("a", "b")
       .distinct()
@@ -178,10 +194,10 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine >= threshold, brute force over
     * the (bounded) id range. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double, maxId: Long): DataFrame = {
-    val e = embeddings.filter(col("vec_id") < maxId)
+    val e = withNorms(embeddings.filter(col("vec_id") < maxId))
     e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+        (dot(col("x.embedding"), col("y.embedding")) / (col("x.n") * col("y.n"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select("a", "b")
   }

@@ -57,7 +57,7 @@ class PlanSpec extends SparkSuite {
     // every blocking/candidate path must be an equi-join shape — a
     // CartesianProduct here is the O(n²) plan the whole design avoids
     Seq("dedup_ngram_pairs", "dedup_minhash", "dedup_simhash", "dedup_substring",
-        "kg_link_edges", "kg_lsh_candidates", "sim_lsh_topk").foreach { name =>
+        "kg_link_edges", "kg_lsh_candidates", "sim_lsh_topk", "sim_lsh_neardup").foreach { name =>
       assert(!plan(q(name)).contains("CartesianProduct"), name)
     }
   }
