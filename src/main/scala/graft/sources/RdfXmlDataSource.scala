@@ -182,8 +182,17 @@ final class RdfXmlPartitionReader(
   private var rows: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
 
+  /** Hadoop codec detection by extension (.gz, .bz2, …) — real RDF dumps
+    * ship compressed; whole-file documents stay unsplittable either way, so
+    * compression changes nothing about partition planning. */
+  @transient private lazy val codecs =
+    new org.apache.hadoop.io.compress.CompressionCodecFactory(hadoopConf.value)
+
   private def readFile(path: String): String = {
-    val in = fs.get.open(new Path(path))
+    val p = new Path(path)
+    val raw = fs.get.open(p)
+    val in: java.io.InputStream =
+      Option(codecs.getCodec(p)).map(c => c.createInputStream(raw): java.io.InputStream).getOrElse(raw)
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     finally in.close()
   }

@@ -45,6 +45,21 @@ class RdfXmlSourceSpec extends SparkSuite {
     assert(bn.length == 1 && bn.head.getAs[String]("subj").matches("_:[0-9a-f]{32}_b0"))
   }
 
+  test("rdfxml source reads gzip-compressed documents (Hadoop codec by extension)") {
+    val dir = Files.createTempDirectory("graft_rdfxml_gz")
+    val doc =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://e.org/">
+        |<rdf:Description rdf:about="http://e.org/gz"><ex:p>zipped</ex:p></rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("c.rdf.gz")))
+    out.write(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
+    val rows = spark.read.format("rdfxml").load(dir.toString).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("subj") == "<http://e.org/gz>")
+    assert(rows.head.getAs[String]("lexical") == "zipped")
+  }
+
   test("rdfxml source prunes columns down to the reader") {
     val dir = writeCorpus()
     val df = spark.read.format("rdfxml").option("baseIRI", "http://base.org/")
