@@ -363,6 +363,18 @@ object GraftFunctions {
     registerTemp(spark, "simhash64", es => SimHash64(es.head))
     registerTemp(spark, "dot_f64", es => DotF64(es.head, es(1)))
     registerTemp(spark, "resolve_iri", es => ResolveIri(es.head, es(1)))
+    registerTemp(spark, "word_shingles", es => WordShingles(es.head, litInt(es(1), "word_shingles")))
+    registerTemp(spark, "char_shingles", es => CharShingles(es.head, litInt(es(1), "char_shingles")))
+    registerTemp(spark, "word_gram_hashes", es => WordGramHashes(es.head, litInt(es(1), "word_gram_hashes")))
+  }
+
+  /** The shingle widths are plan-time constants: require a foldable int. */
+  private[functions] def litInt(e: Expression, fn: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(s"$fn: n must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(s"$fn: n must be an integer, got $other")
+    }
   }
 }
 
@@ -382,6 +394,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"), es => SimHash64(es.head)))
     e.injectFunction((FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"), es => DotF64(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      es => WordShingles(es.head, GraftFunctions.litInt(es(1), "word_shingles"))))
+    e.injectFunction((FunctionIdentifier("char_shingles"),
+      new ExpressionInfo(classOf[CharShingles].getName, "char_shingles"),
+      es => CharShingles(es.head, GraftFunctions.litInt(es(1), "char_shingles"))))
+    e.injectFunction((FunctionIdentifier("word_gram_hashes"),
+      new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
+      es => WordGramHashes(es.head, GraftFunctions.litInt(es(1), "word_gram_hashes"))))
     e.injectFunction((FunctionIdentifier("resolve_iri"),
       new ExpressionInfo(classOf[ResolveIri].getName, "resolve_iri"), es => ResolveIri(es.head, es(1))))
   }

@@ -60,6 +60,20 @@ class ExpressionFuzzSpec extends SparkSuite {
     assert(perRow == exploded)
   }
 
+  test("SQL registration exposes the parameterized shingle functions (literal n)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT word_shingles('a b c d e f', 5) AS ws, char_shingles('ABCD', 3) AS cs, " +
+        "size(word_gram_hashes('a b c', 2)) AS n").first()
+    assert(r.getSeq[String](0) == Seq("a b c d e", "b c d e f"))
+    assert(r.getSeq[String](1) == Seq("abc", "bcd"))
+    assert(r.getInt(2) == 2)
+    // n must be plan-time constant: a column reference is rejected at analysis
+    val err = intercept[Exception](
+      spark.range(1).selectExpr("word_shingles('a', cast(id AS int))").collect())
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("property: word_gram_hashes == fnv1a64 over the joined gram strings") {
     import spark.implicits._
     GraftFunctions.register(spark) // the fold formulation names fnv1a64 in SQL
