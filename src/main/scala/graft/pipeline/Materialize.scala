@@ -113,6 +113,25 @@ object Materialize {
       .sortWithinPartitions("value")
       .write.mode("overwrite").text(dir)
 
+  /** N-Quads text sink: like [[ntriples]] with the graph term as the fourth
+    * position (reference `defaultGraph` semantics — rows in the default
+    * graph, a null/empty `graph` column, serialize as plain triples; the
+    * reference emits quads via `ParseStage.parseQuads`). */
+  def nquads(rows: DataFrame, dir: String): Unit = {
+    val graph =
+      if (rows.columns.contains("graph"))
+        when(col("graph").isNull || col("graph") === "", lit(null: String))
+          // ParseStage.parseQuads carries the raw defaultGraph IRI; wrap it
+          // as a term unless the column already holds rendered term text
+          .when(col("graph").startsWith("<") || col("graph").startsWith("_:"), col("graph"))
+          .otherwise(concat(lit("<"), col("graph"), lit(">")))
+      else lit(null: String)
+    rows.filter(col("error").isNull)
+      .select(concat_ws(" ", col("subj"), col("pred"), col("obj"), graph, lit(".")).as("value"))
+      .sortWithinPartitions("value")
+      .write.mode("overwrite").text(dir)
+  }
+
   /** Materialize the triple table: pred_bucket partitions on disk, rows
     * co-located and sorted by subject within files. */
   def triples(rows: DataFrame, dir: String, subjBuckets: Int = 64): StageResult = {

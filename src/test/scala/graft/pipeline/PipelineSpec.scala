@@ -107,6 +107,25 @@ class PipelineSpec extends SparkSuite {
     assert(lines.sorted.toSeq == expected)
   }
 
+  test("nquads text sink: graph term in fourth position, default graph as plain triple") {
+    import spark.implicits._
+    val turns = Seq(("c1", 0,
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://e.org/">
+        |<rdf:Description rdf:about="http://e.org/s"><ex:p>v</ex:p></rdf:Description></rdf:RDF>""".stripMargin))
+      .toDF("conv_id", "turn_idx", "text")
+    // named graph: raw IRI option becomes a wrapped term
+    val dirG = Files.createTempDirectory("nq_sink_g").toString
+    Materialize.nquads(
+      ParseStage.parseQuads(turns, graft.rdf.ParserOptions(defaultGraph = "http://e.org/g")), dirG)
+    val gLines = spark.read.text(dirG).as[String].collect()
+    assert(gLines.toSeq == Seq("""<http://e.org/s> <http://e.org/p> "v" <http://e.org/g> ."""))
+    // default graph: plain triple line
+    val dirD = Files.createTempDirectory("nq_sink_d").toString
+    Materialize.nquads(ParseStage.parseQuads(turns), dirD)
+    val dLines = spark.read.text(dirD).as[String].collect()
+    assert(dLines.toSeq == Seq("""<http://e.org/s> <http://e.org/p> "v" ."""))
+  }
+
   test("canonical-map broadcast is size-guarded: above the ceiling the join is not broadcast") {
     import spark.implicits._
     val mentions = Seq(("m1", "c-1", 1), ("m2", "c-1", 3), ("m3", "c-2", 1))
