@@ -84,9 +84,22 @@ object IriResolver {
     }
   }
 
+  /** True iff the string could contain a dot SEGMENT at/after `from` — a
+    * leading '.' or a "/." anywhere. These are the only shapes any
+    * remove_dot_segments branch fires on; dots inside ordinary segments
+    * ("file.html") or the authority ("www.w3.org") don't qualify, so a false
+    * here proves the removal is the identity. Conservative: a "/." in a
+    * query/fragment (or "/..x"-style segment) takes the slow path, which is
+    * itself the identity there. This fast path matters because resolution
+    * runs for every rdf:about/resource/datatype of every triple — ~25% of
+    * the parse profile before it was added. */
+  @inline private def maybeDotSegments(s: String, from: Int): Boolean =
+    (s.length > from && s.charAt(from) == '.') || s.indexOf("/.", from) >= 0
+
   /** RFC 3986 §5.2.4 remove_dot_segments over a path (query/fragment of the
     * input, if any, are preserved untouched). */
   private[rdf] def removeDotSegments(pathFull: String): String = {
+    if (!maybeDotSegments(pathFull, 0)) return pathFull
     // Split off query/fragment first.
     var cut = pathFull.length
     val q = pathFull.indexOf('?')
@@ -131,6 +144,7 @@ object IriResolver {
       else colonPos + 1
     val pathPos = iri.indexOf('/', searchFrom)
     if (pathPos < 0) iri
+    else if (!maybeDotSegments(iri, pathPos)) iri // identity: no allocation at all
     else iri.substring(0, pathPos) + removeDotSegments(iri.substring(pathPos))
   }
 }

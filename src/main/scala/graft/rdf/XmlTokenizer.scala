@@ -92,13 +92,16 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
 
   private def fail(msg: String): Nothing = throw new XmlSyntaxException(msg, line, column)
 
-  /** Advance position counters over buf[from, until). */
+  /** Advance position counters over buf[from, until). Newlines are found
+    * with `indexOf` jumps (intrinsified SIMD scan) instead of a per-char
+    * loop — this runs over every consumed byte of every document and was a
+    * top frame in the parse profile. */
   private def advance(from: Int, until: Int): Unit = {
-    var i = from
-    while (i < until) {
-      if (buf.charAt(i) == '\n') { line += 1; column = 0 } else column += 1
-      i += 1
-    }
+    var last = -1
+    var nl = buf.indexOf('\n', from)
+    while (nl >= 0 && nl < until) { line += 1; last = nl; nl = buf.indexOf('\n', nl + 1) }
+    if (last >= 0) column = until - last - 1
+    else column += until - from
   }
 
   def write(chunk: String): Unit = {
@@ -344,16 +347,19 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
       if (ePrefix.isEmpty) scope.getOrElse("", "")
       else scope.getOrElse(ePrefix, fail(s"""unbound namespace prefix: "$ePrefix"."""))
 
-    val attrs = rawAttrs.map { case (aname, v) =>
-      if (aname == "xmlns") XmlAttr(aname, "xmlns", "", RdfVocab.XMLNS, v)
+    val attrsB = Vector.newBuilder[XmlAttr]
+    attrsB.sizeHint(rawAttrs.length)
+    rawAttrs.foreach { case (aname, v) =>
+      attrsB += (if (aname == "xmlns") XmlAttr(aname, "xmlns", "", RdfVocab.XMLNS, v)
       else {
         val (p, l) = splitQName(aname)
         val uri =
           if (p.isEmpty) "" // unprefixed attributes are in no namespace
           else scope.getOrElse(p, fail(s"""unbound namespace prefix: "$p"."""))
         XmlAttr(aname, p, l, uri, v)
-      }
-    }.toVector
+      })
+    }
+    val attrs = attrsB.result()
 
     seenRoot = true
     scopes = scope :: scopes
