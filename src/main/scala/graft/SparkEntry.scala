@@ -107,6 +107,9 @@ object SparkEntry {
     // equi-joined — the "substring dedup" primitive, oracle-gated bit-exactly
     "dedup_substring" -> ((s, dir) =>
       graft.ops.Dedup.substringDupPairs(s.read.parquet(s"$dir/documents.parquet"))),
+    // span-level marks for masking: (doc_id, token offset, anchor hash)
+    "dedup_substring_spans" -> ((s, dir) =>
+      graft.ops.Dedup.substringDupSpans(s.read.parquet(s"$dir/documents.parquet"))),
     // the deterministic signature itself IS oracle-able (bit-exact in SQL)
     "dedup_simhash_sig" -> ((s, dir) =>
       graft.ops.Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
@@ -563,6 +566,20 @@ sc AS (SELECT sa.doc_id, sa.u FROM sa JOIN kp USING (u))
 SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
 FROM sc x JOIN sc y ON x.u = y.u AND x.doc_id < y.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+
+    // Span-level duplication marks: positions via the list-of-structs
+    // comprehension (p is 0-based like Spark's posexplode), unsigned anchor
+    // hash converted back to the JVM's signed BIGINT for the output column.
+    "dedup_substring_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, unnest([{'p': i-1, 'g': array_to_string(w[i:i+7], ' ')} for i in generate_series(1, greatest(len(w)-7, 0))], recursive := true) FROM w),
+gh AS (SELECT doc_id, CAST(p AS INTEGER) AS pos, ${fnv1aSql("g")}::UBIGINT AS u FROM g),
+sa AS (SELECT doc_id, pos, u FROM gh WHERE u % 4 = 0),
+shared AS (SELECT u FROM (SELECT DISTINCT doc_id, u FROM sa) t
+           GROUP BY u HAVING COUNT(*) BETWEEN 2 AND ${graft.pipeline.Linking.DefaultMaxShingleDf})
+SELECT sa.doc_id, sa.pos,
+       CAST(CASE WHEN sa.u >= 9223372036854775808 THEN sa.u::HUGEINT - 18446744073709551616 ELSE sa.u::HUGEINT END AS BIGINT) AS h
+FROM sa JOIN shared USING (u)""",
 
     // MinHash-LSH dedup clusters: word-5-gram shingles → bit-exact signature
     // chain → md5 band keys → per-bucket STAR edges (same components as the

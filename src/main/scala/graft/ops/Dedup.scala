@@ -139,6 +139,25 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Span-level duplication marks — the masking use case: every sampled
+    * anchor position whose k-token gram also appears in at least one OTHER
+    * document (and is under the boilerplate DF cap). Returns
+    * (doc_id, pos, h): `pos` is the 0-based token offset of a duplicated
+    * k-token span. Same scale shape as [[substringDupPairs]], but the
+    * back-join to positions replaces the pair self-join — output is linear
+    * in anchor rows. */
+  def substringDupSpans(docs: DataFrame, k: Int = 8,
+                        mask: Long = DefaultAnchorMask,
+                        maxAnchorDf: Long = Linking.DefaultMaxShingleDf): DataFrame = {
+    val anchors = substringAnchorRows(docs.select(col("doc_id"), col("text")), k, mask)
+    val shared = anchors.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxAnchorDf)
+      .select("h")
+    anchors.join(shared, Seq("h"))
+      .select(col("doc_id"), col("pos"), col("h"))
+  }
+
   /** 64-bit SimHash over whitespace tokens — the native `simhash64`
     * expression (graft.functions.SimHash64), so the signature is a narrow
     * codegen projection with no typed-object barrier. Near-dup when hamming

@@ -58,6 +58,26 @@ class OpsSpec extends SparkSuite {
     assert(capped.count() == 0)
   }
 
+  test("substring dup spans: marks the shared positions in both docs, unique text unmarked") {
+    import spark.implicits._
+    val span = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $span"),   // span starts at token 2
+      (2L, s"$span gamma delta"),  // span starts at token 0
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(corpus, k = 8, mask = 0L)
+      .as[(Long, Int, Long)].collect()
+    // 12-token span → 5 shared 8-gram anchors per doc, offset by 2 between docs
+    val byDoc = spans.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sorted.toSeq }
+    assert(byDoc(1L) == Seq(2, 3, 4, 5, 6) && byDoc(2L) == Seq(0, 1, 2, 3, 4))
+    assert(!byDoc.contains(3L))
+    // the same anchor hash appears in both docs at the offset positions
+    val h1 = spans.filter(s => s._1 == 1L && s._2 == 2).head._3
+    val h2 = spans.filter(s => s._1 == 2L && s._2 == 0).head._3
+    assert(h1 == h2)
+  }
+
   test("native word_shingles equals the defining Catalyst transform chain (incl. empty-token edges)") {
     import spark.implicits._
     val edge = Seq((9001L, "a  b c d e  f"), (9002L, "x y"), (9003L, " lead"),
