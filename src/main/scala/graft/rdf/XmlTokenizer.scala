@@ -210,6 +210,13 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
         advance(pos, lt)
         pos = lt
         progress = true
+      } else if (pos + 1 < buf.length && isNameStart(buf.charAt(pos + 1))) {
+        // Fast path: a name-start char after '<' can only be an open tag —
+        // skip the comment/CDATA/PI/DOCTYPE/close prefix cascade (open tags
+        // are the dominant construct; this check order was a top profile
+        // frame). Identical semantics: none of the other branches match a
+        // name-start second char.
+        if (scanOpenTag()) progress = true else return
       } else if (buf.startsWith("<!--", pos)) {
         val e = buf.indexOf("-->", pos + 4)
         if (e < 0) return
@@ -267,30 +274,35 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
         onCloseTag(name)
         progress = true
       } else {
-        // Open tag: scan with quote awareness; incomplete -> wait.
-        var i = pos + 1
-        var quote: Char = 0
-        var endPos = -1
-        while (i < buf.length && endPos < 0) {
-          val c = buf.charAt(i)
-          if (quote != 0) { if (c == quote) quote = 0 }
-          else if (c == '"' || c == '\'') quote = c
-          else if (c == '>') endPos = i
-          i += 1
-        }
-        if (endPos < 0) {
-          if (buf.length - pos == 1) return
-          if (!isNameStart(buf.charAt(pos + 1))) fail("Invalid character in markup")
-          return
-        }
-        val selfClosing = buf.charAt(endPos - 1) == '/'
-        val inner = buf.substring(pos + 1, if (selfClosing) endPos - 1 else endPos)
-        advance(pos, endPos + 1)
-        pos = endPos + 1
-        onOpenTag(inner, selfClosing)
-        progress = true
+        if (scanOpenTag()) progress = true else return
       }
     }
+  }
+
+  /** Open tag: scan with quote awareness; returns false when incomplete
+    * (wait for more input). */
+  private def scanOpenTag(): Boolean = {
+    var i = pos + 1
+    var quote: Char = 0
+    var endPos = -1
+    while (i < buf.length && endPos < 0) {
+      val c = buf.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') endPos = i
+      i += 1
+    }
+    if (endPos < 0) {
+      if (buf.length - pos == 1) return false
+      if (!isNameStart(buf.charAt(pos + 1))) fail("Invalid character in markup")
+      return false
+    }
+    val selfClosing = buf.charAt(endPos - 1) == '/'
+    val inner = buf.substring(pos + 1, if (selfClosing) endPos - 1 else endPos)
+    advance(pos, endPos + 1)
+    pos = endPos + 1
+    onOpenTag(inner, selfClosing)
+    true
   }
 
   private def isNameStart(c: Char): Boolean =
@@ -304,6 +316,10 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
     }
   }
 
+  /** Reused per-tag attribute scratch (cleared each open tag — one
+    * allocation per tokenizer instead of per element). */
+  private val rawAttrs = mutable.ArrayBuffer.empty[(String, String)]
+
   private def onOpenTag(inner: String, selfClosing: Boolean): Unit = {
     if (closedRoot) fail("Markup after the root element")
     // Parse name.
@@ -313,7 +329,7 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
     if (name.isEmpty || !isNameStart(name.charAt(0))) fail(s"Invalid tag name: $name")
 
     // Parse attributes (document order preserved).
-    val rawAttrs = mutable.ArrayBuffer.empty[(String, String)]
+    rawAttrs.clear()
     while (i < inner.length) {
       while (i < inner.length && inner.charAt(i).isWhitespace) i += 1
       if (i < inner.length) {
