@@ -107,6 +107,10 @@ class PipelineSpec extends SparkSuite {
     assert(lines.sorted.toSeq == expected)
   }
 
+  test("driver contract: SparkEntry.entry returns rows on sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("nquads text sink: graph term in fourth position, default graph as plain triple") {
     import spark.implicits._
     val turns = Seq(("c1", 0,
