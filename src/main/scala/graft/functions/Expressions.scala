@@ -52,17 +52,15 @@ object ExprHelpers {
         val x = fnv1a64(arr.getUTF8String(j))
         var i = 0
         while (i < seeds.length) {
-          var z = x ^ seeds(i)
-          z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
-          z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
-          z ^= (z >>> 33)
+          // single source of the mixing function (JIT-inlined static call)
+          val z = graft.pipeline.Linking.fmix64(x ^ seeds(i))
           if (z < sig(i)) sig(i) = z
           i += 1
         }
       }
       j += 1
     }
-    new GenericArrayData(sig)
+    UnsafeArrayData.fromPrimitiveArray(sig) // no per-element boxing
   }
 
   /** 64-bit SimHash over the whitespace tokens of the text — bit-for-bit the
@@ -183,19 +181,34 @@ object ExprHelpers {
     * Mirrors the fold's null semantics: zip_with pads the shorter array with
     * null and null poisons the sum, so a length mismatch or a null element
     * yields null. */
-  def dotF64(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+  // element-kind codes for dotF64 (plan-time constants baked into codegen)
+  final val KindDouble = 0
+  final val KindFloat = 1
+  final val KindLong = 2
+  final val KindInt = 3
+  final val KindShort = 4
+  final val KindByte = 5
+
+  def dotF64(a: ArrayData, b: ArrayData, aKind: Int, bKind: Int): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      s += x * y
+      s += elem(a, i, aKind) * elem(b, i, bKind)
       i += 1
     }
     s
+  }
+
+  @inline private def elem(arr: ArrayData, i: Int, kind: Int): Double = kind match {
+    case KindDouble => arr.getDouble(i)
+    case KindFloat => arr.getFloat(i).toDouble
+    case KindLong => arr.getLong(i).toDouble
+    case KindInt => arr.getInt(i).toDouble
+    case KindShort => arr.getShort(i).toDouble
+    case KindByte => arr.getByte(i).toDouble
   }
 
   /** RFC-3986-style resolution with the reference's pinned edge semantics
@@ -295,24 +308,36 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** `dot_f64(a, b)` → double dot product (see [[ExprHelpers.dotF64]]).
-  * Accepts array<float> or array<double> on either side. */
+  * Accepts any numeric array element type on either side (each element is
+  * widened to double exactly as the defining `cast(double)` fold does);
+  * a non-numeric array is an ANALYSIS-time failure, not a mid-query throw. */
 case class DotF64(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case t => throw new IllegalArgumentException(s"dot_f64: unsupported input type $t")
+  private def kindOf(e: Expression): Int = e.dataType match {
+    case ArrayType(DoubleType, _) => ExprHelpers.KindDouble
+    case ArrayType(FloatType, _) => ExprHelpers.KindFloat
+    case ArrayType(LongType, _) => ExprHelpers.KindLong
+    case ArrayType(IntegerType, _) => ExprHelpers.KindInt
+    case ArrayType(ShortType, _) => ExprHelpers.KindShort
+    case ArrayType(ByteType, _) => ExprHelpers.KindByte
+    case _ => -1
   }
-  @transient private lazy val aFloat = isFloat(left)
-  @transient private lazy val bFloat = isFloat(right)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (kindOf(left) >= 0 && kindOf(right) >= 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_f64 requires numeric array inputs, got ${left.dataType.sql} and ${right.dataType.sql}")
+  @transient private lazy val aKind = kindOf(left)
+  @transient private lazy val bKind = kindOf(right)
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    ExprHelpers.dotF64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+    ExprHelpers.dotF64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aKind, bKind)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("dotRes")
       s"""
-         |java.lang.Double $r = graft.functions.ExprHelpers.dotF64($a, $b, $aFloat, $bFloat);
+         |java.lang.Double $r = graft.functions.ExprHelpers.dotF64($a, $b, $aKind, $bKind);
          |${ev.isNull} = $r == null;
          |${ev.value} = ${ev.isNull} ? -1.0 : $r.doubleValue();
        """.stripMargin

@@ -76,7 +76,16 @@ object Similarity {
     * explode; no shuffle. */
   private[graft] def hyperplaneBuckets(embeddings: DataFrame,
                                        tables: Int, bitsPerTable: Int): DataFrame = {
-    val dim = embeddings.selectExpr("size(first(embedding))").first().getInt(0)
+    // An empty table (or a fully-filtered partition of the corpus) must mean
+    // zero buckets, not a driver crash deriving the plane dimension.
+    val firstEmb = embeddings.select(col("embedding"))
+      .filter(col("embedding").isNotNull).limit(1).collect()
+    if (firstEmb.isEmpty)
+      return withNorms(embeddings)
+        .select(col("vec_id"), col("embedding"), col("n"),
+          lit(0).as("table"), lit(0).as("bucket"))
+        .filter(lit(false))
+    val dim = firstEmb.head.getSeq[Any](0).size
     val ps = planes(tables * bitsPerTable, dim)
     val bucketCols = (0 until tables).map { t =>
       val bits = (0 until bitsPerTable).map { b =>

@@ -187,10 +187,16 @@ object Linking {
       "mention", "__sh")
 
   /** Per-row signatures from any (id, shingle-array) frame (see
-    * [[minhashSignatures]]). Caller contract: rows with EMPTY shingle arrays
-    * must already be excluded (cheap equivalents: `length >= ShingleLen` for
-    * char shingles, space-count >= n-1 for word shingles) — an empty array
-    * would otherwise yield the identity signature instead of no row. */
+    * [[minhashSignatures]]). Caller contract: (1) rows with EMPTY shingle
+    * arrays must already be excluded (cheap equivalents: `length >=
+    * ShingleLen` for char shingles, space-count >= n-1 for word shingles) —
+    * an empty array would otherwise yield the identity signature instead of
+    * no row; (2) ids must be UNIQUE — this is a per-row projection, so a
+    * duplicated id yields duplicated signature rows (the exploded
+    * [[minhashSignaturesFrom]] path collapsed them via its groupBy), which
+    * downstream bucket caps would count against [[DefaultMaxBucketSize]].
+    * In-repo callers satisfy both (distinct mention universe; unique
+    * doc_ids). */
   def minhashSignaturesOf(df: DataFrame, idCol: String, shinglesCol: String): DataFrame = {
     import graft.functions.{GraftFunctions => F}
     df.select(col(idCol), F.minhash_sig(col(shinglesCol)).as("sig"))

@@ -92,14 +92,25 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
 
   private def fail(msg: String): Nothing = throw new XmlSyntaxException(msg, line, column)
 
+  /** Next newline index in `buf` at/after the consumed prefix; -1 = none in
+    * the rest of the buffer, -2 = unknown (buffer content changed). Cached
+    * so [[advance]] scans each buffer region ONCE: an unbounded
+    * `indexOf('\n')` per call would re-scan to end-of-buffer on every tag of
+    * a newline-free (minified) document — O(n²). */
+  private var nextNl = -2
+
   /** Advance position counters over buf[from, until). Newlines are found
     * with `indexOf` jumps (intrinsified SIMD scan) instead of a per-char
     * loop — this runs over every consumed byte of every document and was a
-    * top frame in the parse profile. */
+    * top frame in the parse profile. `from` is monotone within one buffer
+    * (the run() cursor), so the cached [[nextNl]] makes the total newline
+    * scanning linear in the buffer. */
   private def advance(from: Int, until: Int): Unit = {
+    if (nextNl == -2 || (nextNl >= 0 && nextNl < from)) nextNl = buf.indexOf('\n', from)
     var last = -1
-    var nl = buf.indexOf('\n', from)
-    while (nl >= 0 && nl < until) { line += 1; last = nl; nl = buf.indexOf('\n', nl + 1) }
+    while (nextNl >= 0 && nextNl < until) {
+      line += 1; last = nextNl; nextNl = buf.indexOf('\n', nextNl + 1)
+    }
     if (last >= 0) column = until - last - 1
     else column += until - from
   }
@@ -113,8 +124,8 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
     // Batch fast path: when the previous buffer is fully consumed the new
     // chunk becomes the buffer without any copying (one-shot whole-document
     // parses never copy the input at all).
-    if (pos >= buf.length) { buf = c; pos = 0 }
-    else if (c.nonEmpty) { buf = buf.substring(pos) + c; pos = 0 }
+    if (pos >= buf.length) { buf = c; pos = 0; nextNl = -2 }
+    else if (c.nonEmpty) { buf = buf.substring(pos) + c; pos = 0; nextNl = -2 }
     run()
   }
 

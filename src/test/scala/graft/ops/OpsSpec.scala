@@ -112,6 +112,16 @@ class OpsSpec extends SparkSuite {
       graft.functions.GraftFunctions.dot_f64(
         array(lit(1.0)), array(lit(1.0), lit(2.0))).as("d"))
     assert(mism.first().isNullAt(0))
+    // integer arrays widen to double like the defining cast(double) fold
+    val ints = spark.range(1).select(
+      graft.functions.GraftFunctions.dot_f64(
+        array(lit(1), lit(2)), array(lit(3L), lit(4L))).as("d"))
+    assert(ints.first().getDouble(0) == 11.0)
+    // non-numeric arrays fail at analysis, not mid-query
+    val bad = intercept[Exception](
+      spark.range(1).select(graft.functions.GraftFunctions.dot_f64(
+        array(lit("x")), array(lit(1.0))).as("d")).collect())
+    assert(bad.getMessage.toLowerCase.contains("numeric array"))
   }
 
   test("LSH top-k recall vs brute force") {
@@ -144,6 +154,8 @@ class OpsSpec extends SparkSuite {
     assert(full.count() == 5)
     val capped = Similarity.lshNearDupPairs(corpus, 0.999999, maxBucketSize = 1)
     assert(capped.count() == 0)
+    // empty input → zero pairs, not a driver crash deriving the plane dim
+    assert(Similarity.lshNearDupPairs(embeddings.filter(col("vec_id") < 0), 0.35).count() == 0)
   }
 
   test("IVF top-k: recall vs brute force; full recall when probing all cells") {

@@ -51,6 +51,27 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("property: trackPosition line/column identical across chunk sizes (newline cache survives rebasing)") {
+    val doc = "<?xml version=\"1.0\"?>\n" +
+      "<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\">\n" +
+      "  <rdf:Description rdf:about=\"http://e.org/x\"\n" +
+      "      rdf:nodeID=\"abc\"/>\n" +
+      "</rdf:RDF>"
+    val opts = ParserOptions(trackPosition = true)
+    val Left(ParseError(oneShot)) = RdfXmlParser.parse(doc, opts)
+    assert(oneShot.startsWith("Line "), oneShot)
+    (1 to doc.length).foreach { n =>
+      val msg =
+        try {
+          val p = RdfXmlParser.streaming(opts)(_ => ())
+          doc.grouped(n).foreach(p.write)
+          p.end()
+          fail(s"chunk size $n: expected a parse error")
+        } catch { case e: Exception => e.getMessage }
+      assert(msg == oneShot, s"chunk size $n")
+    }
+  }
+
   test("property: chunk-invariance holds across generated feature-mix documents") {
     val rnd = new scala.util.Random(42)
     def fragment(): String = rnd.nextInt(6) match {
