@@ -72,6 +72,23 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("large minified single-line document parses in linear time") {
+    // Regression pin for the advance() newline cache: an unbounded
+    // indexOf('\n') per construct re-scans to end-of-buffer on every tag of
+    // a newline-free document — 50k elements × ~4 MB ≈ 2×10¹¹ char reads
+    // (minutes); the cached scan is one pass (well under a second).
+    val sb = new StringBuilder
+    sb.append("""<?xml version="1.0"?><rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://e.org/">""")
+    (0 until 50000).foreach(i =>
+      sb.append(s"""<rdf:Description rdf:about="http://e.org/s$i"><ex:p>v$i</ex:p></rdf:Description>"""))
+    sb.append("</rdf:RDF>")
+    val t0 = System.nanoTime()
+    val r = RdfXmlParser.parse(sb.toString)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r.isRight && r.toOption.get.length == 50000)
+    assert(secs < 30.0, f"minified parse took $secs%.1f s — newline scan likely quadratic again")
+  }
+
   test("property: chunk-invariance holds across generated feature-mix documents") {
     val rnd = new scala.util.Random(42)
     def fragment(): String = rnd.nextInt(6) match {
