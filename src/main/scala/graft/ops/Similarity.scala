@@ -191,13 +191,21 @@ object Similarity {
     val b = graft.pipeline.Linking.capBucket(
       hyperplaneBuckets(embeddings, tables, bitsPerTable),
       Seq("table", "bucket"), "vec_id", maxBucketSize)
+    // Dedup the candidate PAIR before the exact-cosine dot (matching
+    // [[lshTopK]]): at near-dup density a pair collides in k of the `tables`
+    // tables and would otherwise pay the dot k times — the most expensive
+    // arithmetic in the pass. Dedup on the id pair only (a full distinct
+    // would hash the embedding arrays in the exchange; both copies carry
+    // identical vectors). Dedup-then-verify ≡ verify-then-dedup: the score
+    // is a pure function of the pair.
     b.as("x").join(b.as("y"), Seq("table", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        (dot(col("x.embedding"), col("y.embedding")) / (col("x.n") * col("y.n"))).as("cos"))
-      .filter(col("cos") >= threshold)
+        col("x.embedding").as("ea"), col("y.embedding").as("eb"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .dropDuplicates("a", "b")
+      .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= threshold)
       .select("a", "b")
-      .distinct()
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, brute force over

@@ -60,14 +60,19 @@ object ConnectedComponents {
           driverEdgeLimit: Long = DriverEdgeLimit): DataFrame = {
     val input = edges.select(col("a").cast("string").as("u"), col("b").cast("string").as("v"))
       .filter(col("u") =!= col("v"))
-    val allNodes = input.select(col("u").as("node"))
-      .unionAll(input.select(col("v").as("node"))).distinct()
 
     // Canonical direction: big → small.
     var g = input
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint(true)
+
+    // Node universe from the CHECKPOINTED canonical edges (same node set as
+    // `input`: dedup and reorientation drop no endpoints) — deriving it from
+    // `input` would re-run the whole upstream edge derivation once more at
+    // the final action.
+    val allNodes = g.select(col("u").as("node"))
+      .unionAll(g.select(col("v").as("node"))).distinct()
 
     if (g.count() <= driverEdgeLimit) return driverUnionFind(g)
 
@@ -110,10 +115,34 @@ object ConnectedComponents {
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
+  /** "Less than" in UTF-8 byte order (unsigned lexicographic) — the order
+    * Spark's UTF8String comparisons (`least`/`greatest`/`min`) and DuckDB's
+    * string comparison both use, which equals code-POINT order. The JVM's
+    * `String.compareTo` is UTF-16 code-UNIT order, which disagrees whenever
+    * a BMP char in U+E000–U+FFFF meets a supplementary-plane char (e.g. an
+    * emoji in a mention id): the surrogate code units sort below U+E000 even
+    * though the code point is larger. Both CC paths must pick the same
+    * component representative regardless of which one runs — the choice
+    * flips silently on edge count via `driverEdgeLimit`. */
+  private[pipeline] def utf8Less(a: String, b: String): Boolean = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val x = ab(i) & 0xff
+      val y = bb(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    ab.length < bb.length
+  }
+
   /** Driver-side union-find over an already-deduplicated, bounded edge
     * frame (see [[run]]'s `driverEdgeLimit` guard). Path compression +
-    * union by attaching the lexicographically larger root under the
-    * smaller, so the root IS the component's min label. */
+    * union by attaching the UTF-8-byte-order larger root under the
+    * smaller, so the root IS the component's min label (same order as the
+    * distributed path and the SQL oracles — see [[utf8Less]]). */
   private def driverUnionFind(g: DataFrame): DataFrame = {
     val spark = g.sparkSession
     import spark.implicits._
@@ -131,7 +160,7 @@ object ConnectedComponents {
       if (!parent.containsKey(u)) parent.put(u, u)
       if (!parent.containsKey(v)) parent.put(v, v)
       val (ru, rv) = (find(u), find(v))
-      if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
+      if (ru != rv) { if (utf8Less(ru, rv)) parent.put(rv, ru) else parent.put(ru, rv) }
     }
     val rows = parent.keySet().toArray(Array.empty[String]).toSeq
       .map(n => (n, find(n)))

@@ -83,7 +83,15 @@ object Linking {
     */
   def jaccardEdges(mentions: DataFrame, threshold: Double,
                    maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
-    val sh = capShingleDf(mentionShingles(mentions), maxShingleDf)
+    // The capped shingle frame is consumed THREE times (set sizes + both
+    // sides of the shared-shingle self-join); without a cut, each consumer
+    // re-derives the whole upstream (transcript window + regex extract +
+    // distinct — r2 bench showed kg_canonical paying that 3×). One eager
+    // localCheckpoint materializes it once; it is O(distinct mentions ×
+    // shingles/mention) — orders of magnitude below the corpus, and
+    // localCheckpoint spills block-wise to executor-local disk, so the cut
+    // holds at cluster scale too.
+    val sh = capShingleDf(mentionShingles(mentions), maxShingleDf).localCheckpoint(true)
     val sizes = sh.groupBy("mention").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
       .filter(col("x.mention") < col("y.mention"))

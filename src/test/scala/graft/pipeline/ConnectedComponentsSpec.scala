@@ -43,6 +43,28 @@ class ConnectedComponentsSpec extends SparkSuite {
     }
   }
 
+  test("supplementary-plane ids: driver and distributed paths pick the same component label") {
+    import spark.implicits._
+    // "" (private-use BMP char) vs "😀" (U+1F600 emoji):
+    // UTF-16 code-unit order says emoji < U+E000 (surrogates sort below
+    // U+E000), UTF-8 byte / code-point order says U+E000 < U+1F600. Spark's
+    // UTF8String min and the DuckDB oracles use the latter; the driver
+    // union-find must agree or the canonical label flips with corpus size.
+    val e000 = "\ue000"
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(emoji < e000, "precondition: JVM UTF-16 order disagrees with code-point order")
+    // third node U+FFFD sorts above U+E000 in BOTH orders, so the component
+    // minimum is decided purely by the contested e000-vs-emoji comparison
+    // (an ASCII third node would be the min under both orders and mask the bug)
+    val edges = Seq((e000, emoji), (emoji, "\ufffd")).toDF("a", "b")
+    val driver = ConnectedComponents.run(edges).as[(String, String)].collect().toMap
+    val dist = ConnectedComponents.run(edges, driverEdgeLimit = 0)
+      .as[(String, String)].collect().toMap
+    assert(driver == dist)
+    // the representative is the code-point minimum: U+E000
+    assert(driver.values.toSet == Set(e000))
+  }
+
   test("long path converges within iteration budget (log-round behavior, distributed path)") {
     import spark.implicits._
     val n = 64
