@@ -61,7 +61,7 @@ final class RdfXmlTable(options: CaseInsensitiveStringMap) extends Table with Su
   override def name(): String = s"rdfxml(${options.get("path")})"
   override def schema(): StructType = RdfXmlTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
     merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
@@ -108,6 +108,37 @@ object RdfXmlScan {
       case StringContains(_, v) => path.contains(v)
       case _ => true
     }
+
+  /** Recursive listing of data files under `dir` (hidden files skipped),
+    * filtered by any pushed `path` predicates, in deterministic path order.
+    * Shared by the batch scan and the micro-batch stream so both surfaces
+    * see the identical file universe. */
+  private[sources] def listDataFiles(dir: String, conf: org.apache.hadoop.conf.Configuration,
+                                     pathFilters: Array[Filter]): Seq[FileStatus] = {
+    val fs = new Path(dir).getFileSystem(conf)
+    def list(p: Path): Seq[FileStatus] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) fs.listStatus(p).toSeq.flatMap(s => list(s.getPath))
+      else Seq(st)
+    }
+    list(new Path(dir))
+      .filter(f => !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .filter(f => pathMatches(f.getPath.toString, pathFilters))
+      .sortBy(_.getPath.toString)
+  }
+
+  /** Bin-pack (path, size) files by size into partitions (documents are
+    * unsplittable — parallelism = file count, one bin ≈ targetBytes). */
+  private[sources] def binPack(files: Seq[(String, Long)], targetBytes: Long): Array[InputPartition] = {
+    val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[String]]
+    var binBytes = Long.MaxValue
+    files.foreach { case (path, len) =>
+      if (binBytes >= targetBytes) { bins += scala.collection.mutable.ArrayBuffer.empty; binBytes = 0 }
+      bins.last += path
+      binBytes += math.max(len, 64 * 1024) // open cost floor for tiny files
+    }
+    bins.map(b => RdfXmlInputPartition(b.toArray): InputPartition).toArray
+  }
 }
 
 final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType,
@@ -126,29 +157,15 @@ final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType,
       org.apache.spark.sql.SparkSession.active,
       options.asCaseSensitiveMap().asScala.toMap))
 
+  private def inputDir: String = Option(options.get("path"))
+    .getOrElse(throw new IllegalArgumentException("rdfxml source requires a path"))
+
+  private def targetBytes: Long = options.getLong("targetPartitionBytes", 32L * 1024 * 1024)
+
   /** Bin-pack the listed files by size (documents are unsplittable). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = Option(options.get("path"))
-      .getOrElse(throw new IllegalArgumentException("rdfxml source requires a path"))
-    val targetBytes = options.getLong("targetPartitionBytes", 32L * 1024 * 1024)
-    val fs = new Path(dir).getFileSystem(hadoopConf.value)
-    def list(p: Path): Seq[FileStatus] = {
-      val st = fs.getFileStatus(p)
-      if (st.isDirectory) fs.listStatus(p).toSeq.flatMap(s => list(s.getPath))
-      else Seq(st)
-    }
-    val files = list(new Path(dir))
-      .filter(f => !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-      .filter(f => RdfXmlScan.pathMatches(f.getPath.toString, pathFilters))
-      .sortBy(_.getPath.toString)
-    val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[String]]
-    var binBytes = Long.MaxValue
-    files.foreach { f =>
-      if (binBytes >= targetBytes) { bins += scala.collection.mutable.ArrayBuffer.empty; binBytes = 0 }
-      bins.last += f.getPath.toString
-      binBytes += math.max(f.getLen, 64 * 1024) // open cost floor for tiny files
-    }
-    bins.map(b => RdfXmlInputPartition(b.toArray): InputPartition).toArray
+    val files = RdfXmlScan.listDataFiles(inputDir, hadoopConf.value, pathFilters)
+    RdfXmlScan.binPack(files.map(f => (f.getPath.toString, f.getLen)), targetBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -157,9 +174,111 @@ final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType,
     val allowDup = options.getBoolean("allowDuplicateRdfIds", false)
     RdfXmlReaderFactory(required.fieldNames, baseIRI, validateUri, allowDup, hadoopConf)
   }
+
+  /** `spark.readStream.format("rdfxml")` — completes the reference's primary
+    * streaming surface (reference `lib/RdfXmlParser.ts:122-141`: the parser
+    * IS a text stream transform) at the corpus level: files arriving in a
+    * directory are discovered per micro-batch, parsed by the same
+    * unsplittable-file partitions and reader as the batch scan, exactly once
+    * across restarts (file-log under the checkpoint). */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RdfXmlMicroBatchStream(inputDir, targetBytes, pathFilters, hadoopConf,
+      checkpointLocation, () => createReaderFactory())
 }
 
 case class RdfXmlInputPartition(files: Array[String]) extends InputPartition
+
+/** Offset = id of the last file-log batch included (-1 = nothing yet). The
+  * batch → file-list mapping lives in the stream's own durable log, so the
+  * offset itself stays O(1) no matter how many files have streamed. */
+case class RdfXmlOffset(batchId: Long) extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = batchId.toString
+}
+
+/** File-listing micro-batch stream over a directory of RDF/XML documents.
+  *
+  * Exactly-once contract: each `latestOffset` call diffs the current listing
+  * against the union of all files already recorded in the durable file-log
+  * (`<checkpoint>/rdfxml-file-log/<batchId>`, one path per line, written
+  * atomically via temp + rename) and logs only the NEW files as the next
+  * batch. `planInputPartitions(start, end)` replays log entries — never the
+  * live listing — so a restarted query re-plans an uncommitted batch to the
+  * identical file set, and files committed before the crash are never
+  * re-parsed. Readers, partitioning (size bin-packing of unsplittable
+  * documents), and schema are shared with the batch scan.
+  *
+  * At cluster scale the log grows one small file per trigger with work
+  * proportional to new files; the per-trigger listing diff is the same
+  * O(files-in-dir) cost Spark's own FileStreamSource pays.
+  */
+final class RdfXmlMicroBatchStream(
+    inputDir: String, targetBytes: Long, pathFilters: Array[Filter],
+    hadoopConf: SerializableConfiguration, checkpointLocation: String,
+    readerFactory: () => PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val logDir = new Path(checkpointLocation, "rdfxml-file-log")
+  private def fs = logDir.getFileSystem(hadoopConf.value)
+
+  private def logEntries(): Seq[(Long, Seq[String])] = {
+    if (!fs.exists(logDir)) return Seq.empty
+    fs.listStatus(logDir).toSeq
+      .flatMap(s => s.getPath.getName.toLongOption.map(_ -> s.getPath))
+      .sortBy(_._1)
+      .map { case (id, p) =>
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+        id -> text.split("\n").toSeq.filter(_.nonEmpty)
+      }
+  }
+
+  private def writeEntry(batchId: Long, files: Seq[String]): Unit = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".$batchId.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(logDir, batchId.toString)))
+      throw new java.io.IOException(s"could not commit rdfxml file-log entry $batchId")
+  }
+
+  override def initialOffset(): Offset = RdfXmlOffset(-1L)
+  override def deserializeOffset(json: String): Offset = RdfXmlOffset(json.trim.toLong)
+
+  override def latestOffset(): Offset = {
+    val entries = logEntries()
+    val maxId = if (entries.isEmpty) -1L else entries.map(_._1).max
+    val seen = entries.iterator.flatMap(_._2).toSet
+    val fresh = RdfXmlScan.listDataFiles(inputDir, hadoopConf.value, pathFilters)
+      .map(f => f.getPath.toString)
+      .filterNot(seen)
+    if (fresh.isEmpty) RdfXmlOffset(maxId)
+    else { writeEntry(maxId + 1, fresh); RdfXmlOffset(maxId + 1) }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RdfXmlOffset].batchId
+    val e = end.asInstanceOf[RdfXmlOffset].batchId
+    val files = logEntries().filter { case (id, _) => id > s && id <= e }.flatMap(_._2)
+    // Sizes re-fetched for bin-packing; a file deleted since logging still
+    // fails the read (correct: the log is the source of truth, and silently
+    // skipping logged data would break exactly-once).
+    val sized = files.map { p =>
+      val path = new Path(p)
+      val dataFs = path.getFileSystem(hadoopConf.value) // data may live on a different FS than the checkpoint
+      val len = try dataFs.getFileStatus(path).getLen catch { case _: java.io.FileNotFoundException => 0L }
+      (p, len)
+    }
+    RdfXmlScan.binPack(sized, targetBytes)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory()
+  override def commit(end: Offset): Unit = () // the file-log is already durable
+  override def stop(): Unit = ()
+}
 
 case class RdfXmlReaderFactory(
     fieldNames: Array[String], baseIRI: String, validateUri: Boolean, allowDup: Boolean,

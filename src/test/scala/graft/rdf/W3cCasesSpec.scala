@@ -195,6 +195,375 @@ class W3cCasesSpec extends AnyFunSuite {
       ("_:c1", s"${RDF}rest", s"${RDF}nil"))
   }
 
+  private def err(doc: String, expectedMsg: String): Unit =
+    RdfXmlParser.parse(doc) match {
+      case Left(ParseError(msg)) => assert(msg == expectedMsg, msg)
+      case Right(ts) => fail(s"expected error '$expectedMsg' but parsed ${ts.size} triples")
+    }
+
+  // ------------------------------------------------- rdf11 grammar features
+
+  test("rdfms-not-id-and-resource-attr/test001: rdf:ID + rdf:resource on a property element reifies the resource triple") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG" xml:base="http://example.org/file">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:prop rdf:ID="st" rdf:resource="http://example/o"/>
+  </rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}prop", "http://example/o"),
+      ("http://example.org/file#st", s"${RDF}type", s"${RDF}Statement"),
+      ("http://example.org/file#st", s"${RDF}subject", "http://example/a"),
+      ("http://example.org/file#st", s"${RDF}predicate", s"${EG}prop"),
+      ("http://example.org/file#st", s"${RDF}object", "http://example/o"))
+  }
+
+  test("rdfms-difference-between-ID-and-about/test1: rdf:ID='foo' and rdf:about='#foo' name the same resource") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG" xml:base="http://example.org/doc">
+  <rdf:Description rdf:ID="foo"><eg:p1>a</eg:p1></rdf:Description>
+  <rdf:Description rdf:about="#foo"><eg:p2>b</eg:p2></rdf:Description>
+</rdf:RDF>""",
+      ("http://example.org/doc#foo", s"${EG}p1", "\"a\""),
+      ("http://example.org/doc#foo", s"${EG}p2", "\"b\""))
+  }
+
+  test("rdfms-difference-between-ID-and-about/test2: non-ASCII rdf:ID survives as an IRI fragment") {
+    check(
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG" xml:base="http://example.org/doc">
+  <rdf:Description rdf:ID="dürst"><eg:p>v</eg:p></rdf:Description>
+</rdf:RDF>""",
+      ("http://example.org/doc#dürst", s"${EG}p", "\"v\""))
+  }
+
+  test("rdfms-duplicate-member-props/test001: equal rdf:li values still get distinct ordinal properties") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF">
+  <rdf:Bag><rdf:li>x</rdf:li><rdf:li>x</rdf:li></rdf:Bag>
+</rdf:RDF>""",
+      ("_:bag", s"${RDF}type", s"${RDF}Bag"),
+      ("_:bag", s"${RDF}_1", "\"x\""),
+      ("_:bag", s"${RDF}_2", "\"x\""))
+  }
+
+  test("rdfms-seq-representation: explicit rdf:_N does not advance the rdf:li counter") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF">
+  <rdf:Seq><rdf:_3>c</rdf:_3><rdf:li>a</rdf:li></rdf:Seq>
+</rdf:RDF>""",
+      ("_:s", s"${RDF}type", s"${RDF}Seq"),
+      ("_:s", s"${RDF}_3", "\"c\""),
+      ("_:s", s"${RDF}_1", "\"a\""))
+  }
+
+  test("rdfms-empty-property-elements/test002: empty property element with rdf:resource yields the IRI object") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG">
+  <rdf:Description rdf:about="http://example/a"><eg:p rdf:resource="http://example/o"/></rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}p", "http://example/o"))
+  }
+
+  test("rdfms-empty-property-elements: property attributes on an empty property element hang off a fresh bnode") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG">
+  <rdf:Description rdf:about="http://example/a"><eg:p eg:q="v"/></rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}p", "_:b"),
+      ("_:b", s"${EG}q", "\"v\""))
+  }
+
+  test("xmlbase/test016-style: empty rdf:resource resolves to the in-scope base") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG" xml:base="http://example.org/dir/doc">
+  <rdf:Description rdf:about="http://example/a"><eg:p rdf:resource=""/></rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}p", "http://example.org/dir/doc"))
+  }
+
+  test("unrecognised-xml-attributes/test001: xml:space is ignored and the literal is untouched") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG">
+  <rdf:Description rdf:about="http://example/a"><eg:p xml:space="preserve"> v </eg:p></rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}p", "\" v \""))
+  }
+
+  test("rdf-element-not-mandatory/test001: a typed node element as document root (no rdf:RDF)") {
+    // Reference behavior (`lib/RdfXmlParser.ts:343`): rdf:* attributes are
+    // only interpreted under a parent tag, so rdf:about on the ROOT element
+    // is ignored and the subject is a fresh bnode.
+    check(
+      s"""<?xml version="1.0"?>
+<eg:Thing xmlns:rdf="$RDF" xmlns:eg="$EG" rdf:about="http://example/root">
+  <eg:p>v</eg:p>
+</eg:Thing>""",
+      ("_:r", s"${RDF}type", s"${EG}Thing"),
+      ("_:r", s"${EG}p", "\"v\""))
+  }
+
+  test("rdf-ns-prefix-confusion: any prefix bound to the RDF namespace works for elements and attributes") {
+    check(
+      s"""<?xml version="1.0"?>
+<x:RDF xmlns:x="$RDF" xmlns:eg="$EG">
+  <x:Description x:about="http://example/a"><eg:p x:resource="http://example/o"/></x:Description>
+</x:RDF>""",
+      ("http://example/a", s"${EG}p", "http://example/o"))
+  }
+
+  test("xml-canon/test001-style: parseType=Literal re-declares in-scope namespaces on top-level literal elements") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:r rdf:parseType="Literal">x<sub>i</sub></eg:r>
+  </rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}r",
+        "\"x<sub xmlns:rdf=\"" + RDF + "\" xmlns:eg=\"" + EG + "\">i</sub>\"^^" + RDF + "XMLLiteral"))
+  }
+
+  test("rdfms-para196: whitespace and comments between property elements produce no triples") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG">
+  <rdf:Description rdf:about="http://example/a">
+    <!-- a comment -->
+    <eg:p>v</eg:p>
+    <!-- another -->
+  </rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}p", "\"v\""))
+  }
+
+  test("rdfms-rdf-names-use/error: rdf:about as a property element name is illegal") {
+    err(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF">
+  <rdf:Description rdf:about="http://example/a"><rdf:about>v</rdf:about></rdf:Description>
+</rdf:RDF>""",
+      "Illegal property element name: about")
+  }
+
+  test("rdf-containers: rdf:ID is not a valid NCName → exact reference error") {
+    err(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xml:base="http://example.org/">
+  <rdf:Description rdf:ID="1bad"/>
+</rdf:RDF>""",
+      "Not a valid NCName: 1bad")
+  }
+
+  // -------------------------------------- datatype-vs-parseType conflict taxonomy
+
+  test("conflict: rdf:datatype before rdf:parseType errors with the resolved datatype") {
+    err(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:p rdf:datatype="http://example/dt" rdf:parseType="Resource"/>
+  </rdf:Description>
+</rdf:RDF>""",
+      "rdf:parseType is not allowed on property elements with rdf:datatype (http://example/dt)")
+  }
+
+  test("conflict: rdf:parseType before rdf:datatype errors with the raw attribute value") {
+    err(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:p rdf:parseType="Literal" rdf:datatype="http://example/dt"/>
+  </rdf:Description>
+</rdf:RDF>""",
+      "rdf:parseType is not allowed on property elements with rdf:datatype (http://example/dt)")
+  }
+
+  test("conflict: non-rdf property attribute + rdf:datatype") {
+    err(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:p eg:q="v" rdf:datatype="http://example/dt"/>
+  </rdf:Description>
+</rdf:RDF>""",
+      "Found both non-rdf:* property attributes and rdf:datatype (http://example/dt).")
+  }
+
+  test("conflict: non-rdf property attribute + rdf:parseType") {
+    err(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:p eg:q="v" rdf:parseType="Resource"/>
+  </rdf:Description>
+</rdf:RDF>""",
+      "rdf:parseType is not allowed when non-rdf:* property attributes are present")
+  }
+
+  test("conflict: rdf:nodeID before rdf:resource") {
+    err(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:p rdf:nodeID="x" rdf:resource="http://example/o"/>
+  </rdf:Description>
+</rdf:RDF>""",
+      "Found both rdf:resource (http://example/o) and rdf:nodeID (x).")
+  }
+
+  test("conflict: rdf:resource before rdf:nodeID") {
+    err(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:p rdf:resource="http://example/o" rdf:nodeID="x"/>
+  </rdf:Description>
+</rdf:RDF>""",
+      "Found both rdf:resource and rdf:nodeID (x).")
+  }
+
+  // ------------------------------------------------------ rdf12 eval semantics
+
+  test("rdf12: parseType=Triple under rdf:version=1.2 yields a triple term object") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG" rdf:version="1.2">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:prop rdf:parseType="Triple">
+      <rdf:Description rdf:about="http://example/s">
+        <eg:p rdf:resource="http://example/o"/>
+      </rdf:Description>
+    </eg:prop>
+  </rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}prop", s"<<http://example/s ${EG}p http://example/o>>"))
+  }
+
+  test("rdf12: parseType=Triple WITHOUT an in-scope rdf:version is silently swallowed (reference-pinned)") {
+    RdfXmlParser.parse(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:prop rdf:parseType="Triple">
+      <rdf:Description rdf:about="http://example/s"><eg:p rdf:resource="http://example/o"/></rdf:Description>
+    </eg:prop>
+  </rdf:Description>
+</rdf:RDF>""") match {
+      case Right(ts) => assert(ts.isEmpty, TestSupport.describe(ts))
+      case Left(e) => fail(e.message)
+    }
+  }
+
+  test("rdf12: rdf:version on an INNER node element enables parseType=Triple for its subtree only") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG">
+  <rdf:Description rdf:about="http://example/a" rdf:version="1.2">
+    <eg:prop rdf:parseType="Triple">
+      <rdf:Description rdf:about="http://example/s"><eg:p rdf:resource="http://example/o"/></rdf:Description>
+    </eg:prop>
+  </rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}prop", s"<<http://example/s ${EG}p http://example/o>>"))
+  }
+
+  test("rdf12: triply-nested parseType=Triple builds a depth-3 triple term") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG" rdf:version="1.2">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:p1 rdf:parseType="Triple">
+      <rdf:Description rdf:about="http://example/s1">
+        <eg:p2 rdf:parseType="Triple">
+          <rdf:Description rdf:about="http://example/s2">
+            <eg:p3 rdf:parseType="Triple">
+              <rdf:Description rdf:about="http://example/s3">
+                <eg:p4 rdf:resource="http://example/o"/>
+              </rdf:Description>
+            </eg:p3>
+          </rdf:Description>
+        </eg:p2>
+      </rdf:Description>
+    </eg:p1>
+  </rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}p1",
+        s"<<http://example/s1 ${EG}p2 <<http://example/s2 ${EG}p3 <<http://example/s3 ${EG}p4 http://example/o>>>>>>"))
+  }
+
+  test("rdf12: triple term with a datatyped literal object") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG" rdf:version="1.2">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:prop rdf:parseType="Triple">
+      <rdf:Description rdf:about="http://example/s">
+        <eg:p rdf:datatype="http://www.w3.org/2001/XMLSchema#int">5</eg:p>
+      </rdf:Description>
+    </eg:prop>
+  </rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}prop",
+        s"<<http://example/s ${EG}p \"5\"^^http://www.w3.org/2001/XMLSchema#int>>"))
+  }
+
+  test("rdf12: rdf:annotation reifies a language-tagged literal triple") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:prop xml:lang="en" rdf:annotation="http://example/t1">blah</eg:prop>
+  </rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}prop", "\"blah\"@en"),
+      ("http://example/t1", s"${RDF}reifies", s"<<http://example/a ${EG}prop \"blah\"@en>>"))
+  }
+
+  test("rdf12: its:dir + xml:lang yield a directional language-tagged literal") {
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG" xmlns:its="http://www.w3.org/2005/11/its" rdf:version="1.2">
+  <rdf:Description rdf:about="http://example/a" xml:lang="en" its:dir="ltr">
+    <eg:p>hello</eg:p>
+    <eg:q its:dir="rtl">bye</eg:q>
+  </rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}p", "\"hello\"@en--ltr"),
+      ("http://example/a", s"${EG}q", "\"bye\"@en--rtl"))
+  }
+
+  test("rdf12: invalid its:dir errors with the exact reference message") {
+    err(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG" xmlns:its="http://www.w3.org/2005/11/its" rdf:version="1.2">
+  <rdf:Description rdf:about="http://example/a" xml:lang="en" its:dir="xyz">
+    <eg:p>hello</eg:p>
+  </rdf:Description>
+</rdf:RDF>""",
+      "Base directions must either be 'ltr' or 'rtl', while 'xyz' was found.")
+  }
+
+  test("rdf12: unsupported rdf:version errors; parseUnsupportedVersions lifts it") {
+    val doc =
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG" rdf:version="0.9">
+  <rdf:Description rdf:about="http://example/a"><eg:p>v</eg:p></rdf:Description>
+</rdf:RDF>"""
+    err(doc, "Detected unsupported version: 0.9")
+    RdfXmlParser.parse(doc, ParserOptions(parseUnsupportedVersions = true)) match {
+      case Right(ts) => assert(ts.exists(_.pred == Iri(s"${EG}p")))
+      case Left(e) => fail(e.message)
+    }
+  }
+
   test("trackPosition prefixes errors with line/column at other error sites too") {
     // duplicate rdf:ID — position points at the second occurrence
     val dup =
