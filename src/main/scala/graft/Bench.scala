@@ -148,7 +148,7 @@ object Bench {
     if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) {
       val results = runQuerySuite()
       val qs0 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-      println(f"""{"metric":"total","value":${results.map(_._2).sum}%.2f,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      emit(f"""{"metric":"total","value":${results.map(_._2).sum}%.2f,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
       return
     }
 
@@ -230,7 +230,20 @@ object Bench {
     val pairsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
     val scaling =
       f"""{"cores_low":$n,"cores_high":${4 * n},"triples":$triples,"secs_low":$secsLow%.2f,"secs_high":$secsHigh%.2f,"tps_low":$tpsLow%.0f,"tps_high":$tpsHigh%.0f,"efficiency":$efficiency%.3f,"efficiency_median":$efficiency%.3f,"efficiency_trimmed_median":$effTrimmed%.3f,"efficiency_best":${pairEffs.max}%.3f,"efficiency_minratio":$effMinRatio%.3f,"pair_efficiencies":$pairsJson,"cores_max":$cpus,"tps_max":$tpsMax%.0f}"""
-    println(
+    emit(
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","triples_per_sec":$tpsMax%.0f,"scaling":$scaling}""")
+  }
+
+  /** Print the one-line JSON (driver contract) AND mirror it to a plain file:
+    * under `sbt -batch runMain` the stdout line arrives wrapped as
+    * `[info] {...}`, which defeated the driver's JSON extraction in r2
+    * (`BENCH_r02.json: "parsed": null`) — the file copy is prefix-free. */
+  private def emit(line: String): Unit = {
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    try {
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case e: java.io.IOException => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
   }
 }

@@ -17,6 +17,12 @@ final case class ParserOptions(
     // Constant per parse, so the Spark side attaches it as a literal column
     // (ParseStage.parseQuads) instead of widening every kernel Triple.
     defaultGraph: String = "",
+    // Fresh blank-node label allocation, the factory-controlled part of the
+    // reference's `dataFactory.blankNode()` with no argument
+    // (`lib/RdfXmlParser.ts:409-419`): called with a per-document counter
+    // (0, 1, 2, …) each time the grammar needs an anonymous node. null =
+    // the default "b<counter>" labels.
+    blankNodeLabel: Int => String = null,
 ) {
   def effectiveIriValidation: IriValidation =
     if (iriValidation != null) iriValidation
@@ -131,7 +137,12 @@ final class RdfXmlParser(opts: ParserOptions, push: Triple => Unit) {
   private def isValidVersion(version: String): Boolean =
     opts.parseUnsupportedVersions || RdfXmlParser.SupportedVersions.contains(version)
 
-  private def freshBNode(): BNode = { val b = BNode("b" + bnodeCounter); bnodeCounter += 1; b }
+  private def freshBNode(): BNode = {
+    val label =
+      if (opts.blankNodeLabel ne null) opts.blankNodeLabel(bnodeCounter) else "b" + bnodeCounter
+    bnodeCounter += 1
+    BNode(label)
+  }
 
   /** `valueToUri` (`lib/RdfXmlParser.ts:161-163`). */
   private def valueToUri(value: String, tag: ActiveTag): Iri =
@@ -687,4 +698,35 @@ object RdfXmlParser {
     * observe pushes. */
   def streaming(opts: ParserOptions)(push: Triple => Unit): RdfXmlParser =
     new RdfXmlParser(opts, push)
+
+  /** Batch parse through a custom [[TermFactory]] — the reference's
+    * `dataFactory` surface (`lib/RdfXmlParser.ts:85-93`): every term in the
+    * result, including nested triple-term components, is built by `factory`.
+    * Combine with [[ParserOptions.blankNodeLabel]] to also control fresh
+    * blank-node allocation. */
+  def parseWith[N](text: String, factory: TermFactory[N],
+      opts: ParserOptions = ParserOptions()): Either[ParseError, Vector[(N, N, N)]] = {
+    val out = Vector.newBuilder[(N, N, N)]
+    val parser = streamingWith(opts, factory)((s, p, o) => out += ((s, p, o)))
+    try {
+      parser.write(text)
+      parser.end()
+      Right(out.result())
+    } catch {
+      case e: ParseException => Left(ParseError(e.rawMessage))
+      case e: XmlSyntaxException => Left(ParseError(e.getMessage))
+      case e: IriResolver.IriResolutionError => Left(ParseError(e.message))
+      case e: NumberFormatException => Left(ParseError(s"Invalid character reference: ${e.getMessage}"))
+    }
+  }
+
+  /** Incremental parse through a custom [[TermFactory]]: each emitted triple
+    * is converted at the push boundary, preserving the chunk-by-chunk
+    * emission contract (R29). */
+  def streamingWith[N](opts: ParserOptions, factory: TermFactory[N])(
+      push: (N, N, N) => Unit): RdfXmlParser =
+    new RdfXmlParser(opts, t => push(
+      TermFactory.convert(t.subj, factory),
+      TermFactory.convert(t.pred, factory),
+      TermFactory.convert(t.obj, factory)))
 }
