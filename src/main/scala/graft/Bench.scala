@@ -111,7 +111,9 @@ object Bench {
       ).count()
       // native sketch expressions: minhash/simhash/shingles/dot codegen
       spark1.read.parquet(s"$sfDir/documents.parquet").limit(64)
-        .select(graft.functions.GraftFunctions.minhash_sig(col("text")),
+        .select(
+          graft.functions.GraftFunctions.minhash_sig(
+            graft.functions.GraftFunctions.word_shingles(col("text"), 3)),
           graft.functions.GraftFunctions.simhash64(col("text")))
         .collect()
       spark1.read.parquet(s"$sfDir/embeddings.parquet").limit(64)

@@ -139,6 +139,20 @@ object SparkEntry {
       graft.ops.TextAnalysis.fingerprints(s.read.parquet(s"$dir/documents.parquet"))),
     "text_rolling_fp" -> ((s, dir) =>
       graft.ops.TextAnalysis.rollingFingerprints(s.read.parquet(s"$dir/documents.parquet"))),
+    "text_repetition" -> ((s, dir) =>
+      graft.ops.TextAnalysis.repetitionStats(s.read.parquet(s"$dir/documents.parquet"))),
+    "text_pii" -> ((s, dir) => {
+      // The op under test is the scrubber; this corpus is digit-free, so the
+      // query splices deterministic doc_id-derived PII into each row — the
+      // SAME construction runs on both engines, so the oracle still proves
+      // the regex semantics match on per-row-varying input.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com at 10."), (col("doc_id") % 200 + 1).cast("string"),
+        lit(".0.1 or +1 (555) 0"), lpad(col("doc_id").cast("string"), 4, "0"))
+      graft.ops.Pii.scrub(docs, pii)
+    }),
 
     "sample_per_lang" -> ((s, dir) =>
       graft.ops.Sampling.deterministicTopKPerStratum(
@@ -694,6 +708,37 @@ FROM documents""",
       s"""WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents),
 h AS (SELECT doc_id, ${fnv1aSql("t")} AS u FROM n)
 SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS fp64 FROM h""",
+
+    // top_word_count via unnest+GROUP BY (SQL-natural); the Spark side gets
+    // the same value as the longest equal-adjacent run of the sorted token
+    // array (narrow, shuffle-free) — max per-word frequency either way.
+    "text_repetition" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+cnt AS (SELECT doc_id, CAST(max(c) AS INTEGER) AS top_word_count FROM (
+  SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(ws) AS w FROM base) GROUP BY doc_id, w) GROUP BY doc_id)
+SELECT b.doc_id,
+  CAST(len(b.ws) - 1 AS INTEGER) AS n_bigrams,
+  CAST(len(list_distinct(list_transform(generate_series(1, len(b.ws) - 1), i -> b.ws[i] || ' ' || b.ws[i + 1]))) AS INTEGER) AS distinct_bigrams,
+  c.top_word_count
+FROM base b JOIN cnt c USING (doc_id)""",
+
+    // Same deterministic PII splice as the Spark side; patterns are spliced
+    // from graft.ops.Pii so both engines run the identical rule text
+    // (restricted to the Java-regex ∩ RE2 dialect). DuckDB regexp_replace
+    // needs the explicit 'g' flag to match Spark's replace-all.
+    "text_pii" ->
+      s"""WITH p AS (SELECT doc_id,
+  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.' ||
+  CAST(doc_id % 200 + 1 AS VARCHAR) || '.0.1 or +1 (555) 0' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS t
+FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '${graft.ops.Pii.EmailRe}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(t, '${graft.ops.Pii.Ipv4Re}')) AS INTEGER) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(t,
+    '${graft.ops.Pii.EmailRe}', '[EMAIL]', 'g'),
+    '${graft.ops.Pii.Ipv4Re}', '[IP]', 'g'),
+    '${graft.ops.Pii.PhoneRe}', '[PHONE]', 'g') AS redacted
+FROM p""",
 
     "sample_per_lang" ->
       """SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (

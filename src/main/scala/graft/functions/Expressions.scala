@@ -5,8 +5,25 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Analysis-time input checks: a mistyped call (e.g. `minhash_sig(text)`
+  * instead of `minhash_sig(word_shingles(text, n))`) must fail in the
+  * analyzer with a readable message, not surface as a codegen compile error
+  * + interpreted-path ClassCastException mid-job. */
+private[functions] object InputCheck {
+  def string(e: Expression, name: String): TypeCheckResult = e.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$name requires a string input, got ${t.sql}")
+  }
+  def stringArray(e: Expression, name: String): TypeCheckResult = e.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$name requires an array<string> input (e.g. word_shingles(text, n)), got ${t.sql}")
+  }
+}
 
 /** Native Catalyst expressions for the hot relational paths (SURVEY §4.2:
   * a codegen `Expression` beats a Scala UDF — UDFs are optimization
@@ -245,6 +262,7 @@ case class Fmix64(child: Expression) extends UnaryExpression {
 
 /** 64-bit FNV-1a string hash (see [[ExprHelpers.fnv1a64]]). */
 case class Fnv1a64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.string(child, "fnv1a64")
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     ExprHelpers.fnv1a64(v.asInstanceOf[UTF8String])
@@ -256,6 +274,7 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
 /** `minhash_sig(array<string>)` → the full 32-long MinHash signature per row
   * (see [[ExprHelpers.minhashSig]]): the shuffle-free signature stage. */
 case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.stringArray(child, "minhash_sig")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     ExprHelpers.minhashSig(v.asInstanceOf[ArrayData])
@@ -266,6 +285,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
 /** `simhash64(text)` → 64-bit SimHash (see [[ExprHelpers.simhash64]]). */
 case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.string(child, "simhash64")
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     ExprHelpers.simhash64(v.asInstanceOf[UTF8String])
@@ -277,6 +297,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 /** `word_shingles(text, n)` → array<string> of word n-gram shingles (see
   * [[ExprHelpers.wordShingles]]). `n` is a plan-time constant. */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.string(child, "word_shingles")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     ExprHelpers.wordShingles(v.asInstanceOf[UTF8String], n)
@@ -288,6 +309,7 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 /** `word_gram_hashes(text, n)` → array<long> of per-position word-n-gram
   * FNV-1a hashes (see [[ExprHelpers.wordGramHashes]]). */
 case class WordGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.string(child, "word_gram_hashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     ExprHelpers.wordGramHashes(v.asInstanceOf[UTF8String], n)
@@ -299,6 +321,7 @@ case class WordGramHashes(child: Expression, n: Int) extends UnaryExpression {
 /** `char_shingles(str, n)` → array<string> of lowercased character n-gram
   * shingles (see [[ExprHelpers.charShingles]]). `n` is a plan-time constant. */
 case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.string(child, "char_shingles")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     ExprHelpers.charShingles(v.asInstanceOf[UTF8String], n)

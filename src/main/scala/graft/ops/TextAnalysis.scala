@@ -63,6 +63,39 @@ object TextAnalysis {
       md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
     )
 
+  /** Gopher-style repetition metrics: repeated-bigram mass and the count of
+    * the most frequent word. Shapes chosen for 100 TB: everything is a
+    * per-row narrow projection (array HOFs over the token list — work
+    * bounded by document length, no shuffle), including `top_word_count`,
+    * which is computed as the longest equal-adjacent run of the SORTED
+    * token array (== the max per-word frequency) rather than an
+    * explode + groupBy — the exactness of a global aggregate without its
+    * (doc_id, word) exchange. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    // Written with slice/zip_with (array-level ops) rather than per-index
+    // element_at(split(...), i): a split inside a HOF lambda re-tokenizes
+    // the document once PER ELEMENT (O(len·words) per row); here split is
+    // evaluated a constant number of times per row.
+    docs.select(
+      col("doc_id"),
+      expr("size(split(text, ' ')) - 1").as("n_bigrams"),
+      expr("""size(array_distinct(zip_with(
+                slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+                slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+                (a, b) -> concat(a, ' ', b))))""")
+        .as("distinct_bigrams"),
+      expr("""aggregate(
+                array_sort(split(text, ' ')),
+                named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+                (acc, w) -> named_struct(
+                  'prev', w,
+                  'run',  CASE WHEN acc.prev IS NOT NULL AND w = acc.prev THEN acc.run + 1 ELSE 1 END,
+                  'best', greatest(acc.best,
+                            CASE WHEN acc.prev IS NOT NULL AND w = acc.prev THEN acc.run + 1 ELSE 1 END)),
+                acc -> acc.best)""")
+        .as("top_word_count"),
+    )
+
   /** Rolling-hash fingerprint: 64-bit FNV-1a over the chars of the
     * normalized text, via the native codegen `fnv1a64` expression — one
     * streaming pass per document, no digest allocation (vs md5), and the

@@ -252,7 +252,12 @@ final class RdfXmlMicroBatchStream(
     val entries = logEntries()
     val maxId = if (entries.isEmpty) -1L else entries.map(_._1).max
     val seen = entries.iterator.flatMap(_._2).toSet
-    val fresh = RdfXmlScan.listDataFiles(inputDir, hadoopConf.value, pathFilters)
+    // An input dir that does not exist yet is "no files yet", not an error:
+    // streams routinely start before their producer creates the directory.
+    val listed =
+      try RdfXmlScan.listDataFiles(inputDir, hadoopConf.value, pathFilters)
+      catch { case _: java.io.FileNotFoundException => Seq.empty[FileStatus] }
+    val fresh = listed
       .map(f => f.getPath.toString)
       .filterNot(seen)
     if (fresh.isEmpty) RdfXmlOffset(maxId)

@@ -267,6 +267,38 @@ class OpsSpec extends SparkSuite {
     assert(clusters.map(_._2).distinct.toSeq == Seq("0"))
   }
 
+  test("PII scrub: counts and redaction on crafted rows; clean text passes through untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "write to alice.smith+x@sub.example.org or bob@ex.io today"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255, call +1 (555) 123-4567"),
+      (3L, "no pii here at all"),
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val out = Pii.scrub(rows, col("text")).as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 2 && out(1L)._4 == "write to [EMAIL] or [EMAIL] today")
+    assert(out(2L)._3 == 2 && out(2L)._4 == "server at [IP] and [IP], call [PHONE]")
+    assert(out(3L) == ((3L, 0, 0, "no pii here at all")))
+    assert(out(4L) == ((4L, 0, 0, "")))
+  }
+
+  test("repetition stats: bigram mass and top-word frequency match hand counts") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a b a b a"),     // bigrams: ab ba ab ba → 4 total, 2 distinct; top word 'a' ×3
+      (2L, "x x x x"),       // 3 bigrams all 'x x'; top word ×4
+      (3L, "solo"),          // no bigrams
+      (4L, "all distinct words here"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(rows).as[(Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4, 2, 3)))
+    assert(out(2L) == ((2L, 3, 1, 4)))
+    assert(out(3L) == ((3L, 0, 0, 1)))
+    assert(out(4L) == ((4L, 3, 3, 1)))
+  }
+
   test("frame sampling fans out video payloads deterministically") {
     val frames = Multimodal.sampleFrames(Multimodal.syntheticMedia(docs.limit(30))).collect()
     assert(frames.nonEmpty)

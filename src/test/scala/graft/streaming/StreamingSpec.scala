@@ -106,6 +106,18 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("rdfxml DSv2 streaming read: an input dir that does not exist yet is 'no files', not an error") {
+    val tmp = Files.createTempDirectory("graft_stream_nodir").toString
+    val input = s"$tmp/not_created_yet"
+    val q = spark.readStream.format("rdfxml").load(input)
+      .writeStream.format("memory").queryName("graft_nodir")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.sql("select * from graft_nodir").count() == 0)
+  }
+
   test("streaming resume: restart from checkpoint does not duplicate output") {
     val tmp = Files.createTempDirectory("graft_stream2").toString
     val input = s"$tmp/input"
