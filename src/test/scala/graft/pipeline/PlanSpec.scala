@@ -137,4 +137,14 @@ class PlanSpec extends SparkSuite {
     val p = plan(q("sim_topk"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("text_pii and text_repetition are map-only: scan → project, no Exchange, pruned read") {
+    for (name <- Seq("text_pii", "text_repetition")) {
+      val p = plan(q(name))
+      assert(!p.contains("Exchange"), s"$name: $p")
+      // only the needed columns reach the scan (doc_id + text)
+      assert(p.contains("ReadSchema") && !p.contains("lang") && !p.contains("source"),
+        s"$name: $p")
+    }
+  }
 }
