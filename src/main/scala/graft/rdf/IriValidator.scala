@@ -20,7 +20,25 @@ object IriValidator {
   /** Equivalent to `^[A-Za-z][\d+\-.A-Za-z]*:[^\x00-\x20"<>\\^`{|}]*$` but
     * as a direct char scan — this runs for every IRI of every triple, and
     * the regex engine's per-char predicate lambdas dominated the parse
-    * profile. */
+    * profile. The char classes are 128-entry lookup tables: the branchy
+    * form cost up to ~10 compares per char and was still ~20% of the kernel
+    * profile; a bounds check + array load is one predictable branch. Chars
+    * ≥ 128 are scheme-invalid / body-valid, exactly as before. */
+  private val schemeOk: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    for (c <- 'A' to 'Z') t(c) = true
+    for (c <- 'a' to 'z') t(c) = true
+    for (c <- '0' to '9') t(c) = true
+    t('+') = true; t('-') = true; t('.') = true
+    t
+  }
+  private val badBody: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    for (c <- 0 to ' '.toInt) t(c) = true
+    for (c <- "\"<>\\^`{|}") t(c) = true
+    t
+  }
+
   def pragmaticValid(iri: String): Boolean = {
     val n = iri.length
     if (n == 0) return false
@@ -31,15 +49,13 @@ object IriValidator {
     while (i < n && !sawColon) {
       val c = iri.charAt(i)
       if (c == ':') sawColon = true
-      else if (!((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
-                 (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.')) return false
+      else if (c >= 128 || !schemeOk(c)) return false
       i += 1
     }
     if (!sawColon) return false
     while (i < n) {
       val c = iri.charAt(i)
-      if (c <= ' ' || c == '"' || c == '<' || c == '>' || c == '\\' ||
-          c == '^' || c == '`' || c == '{' || c == '|' || c == '}') return false
+      if (c < 128 && badBody(c)) return false
       i += 1
     }
     true

@@ -22,7 +22,7 @@ final case class OpenTag(
     prefix: String,
     local: String,
     uri: String,
-    attributes: Vector[XmlAttr],
+    attributes: scala.collection.immutable.ArraySeq[XmlAttr],
     selfClosing: Boolean,
 ) extends XmlEvent
 
@@ -328,8 +328,13 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
   }
 
   /** Reused per-tag attribute scratch (cleared each open tag — one
-    * allocation per tokenizer instead of per element). */
-  private val rawAttrs = mutable.ArrayBuffer.empty[(String, String)]
+    * allocation per tokenizer instead of per element). Parallel buffers
+    * rather than an ArrayBuffer[(String, String)]: attribute handling is
+    * ~40% of the kernel profile, and a Tuple2 per attribute plus the
+    * pattern-match destructuring closures in the passes over it were a
+    * measurable slice of that. */
+  private val rawAttrNames = mutable.ArrayBuffer.empty[String]
+  private val rawAttrValues = mutable.ArrayBuffer.empty[String]
 
   private def onOpenTag(inner: String, selfClosing: Boolean): Unit = {
     if (closedRoot) fail("Markup after the root element")
@@ -340,7 +345,8 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
     if (name.isEmpty || !isNameStart(name.charAt(0))) fail(s"Invalid tag name: $name")
 
     // Parse attributes (document order preserved).
-    rawAttrs.clear()
+    rawAttrNames.clear()
+    rawAttrValues.clear()
     while (i < inner.length) {
       while (i < inner.length && inner.charAt(i).isWhitespace) i += 1
       if (i < inner.length) {
@@ -356,37 +362,55 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
         val vEnd = inner.indexOf(q, j + 1)
         if (vEnd < 0) fail(s"Unterminated attribute value in element $name")
         val rawValue = inner.substring(j + 1, vEnd)
-        if (rawAttrs.exists(_._1 == aname)) fail(s"Duplicate attribute: $aname")
-        rawAttrs += ((aname, expandEntities(rawValue, attr = true)))
+        var d = 0
+        while (d < rawAttrNames.length) {
+          if (rawAttrNames(d) == aname) fail(s"Duplicate attribute: $aname")
+          d += 1
+        }
+        rawAttrNames += aname
+        rawAttrValues += expandEntities(rawValue, attr = true)
         i = vEnd + 1
       }
     }
+    val nAttrs = rawAttrNames.length
 
     // Build the namespace scope for this element.
     var scope = scopes.head
-    rawAttrs.foreach { case (aname, v) =>
-      if (aname == "xmlns") scope = scope.updated("", v)
-      else if (aname.startsWith("xmlns:")) scope = scope.updated(aname.substring(6), v)
+    var k = 0
+    while (k < nAttrs) {
+      val aname = rawAttrNames(k)
+      if (aname == "xmlns") scope = scope.updated("", rawAttrValues(k))
+      else if (aname.startsWith("xmlns:")) scope = scope.updated(aname.substring(6), rawAttrValues(k))
+      k += 1
     }
 
-    val (ePrefix, eLocal) = splitQName(name)
+    val eci = name.indexOf(':')
+    val ePrefix = if (eci < 0) "" else name.substring(0, eci)
+    val eLocal = if (eci < 0) name else name.substring(eci + 1)
     val eUri =
       if (ePrefix.isEmpty) scope.getOrElse("", "")
       else scope.getOrElse(ePrefix, fail(s"""unbound namespace prefix: "$ePrefix"."""))
 
-    val attrsB = Vector.newBuilder[XmlAttr]
-    attrsB.sizeHint(rawAttrs.length)
-    rawAttrs.foreach { case (aname, v) =>
-      attrsB += (if (aname == "xmlns") XmlAttr(aname, "xmlns", "", RdfVocab.XMLNS, v)
+    // Array + unsafeWrapArray: a Vector builder is several allocations for
+    // a typically 1-4 element collection on the hottest path in the kernel.
+    val attrsArr = new Array[XmlAttr](nAttrs)
+    k = 0
+    while (k < nAttrs) {
+      val aname = rawAttrNames(k)
+      val v = rawAttrValues(k)
+      attrsArr(k) = (if (aname == "xmlns") XmlAttr(aname, "xmlns", "", RdfVocab.XMLNS, v)
       else {
-        val (p, l) = splitQName(aname)
+        val ci = aname.indexOf(':')
+        val p = if (ci < 0) "" else aname.substring(0, ci)
+        val l = if (ci < 0) aname else aname.substring(ci + 1)
         val uri =
           if (p.isEmpty) "" // unprefixed attributes are in no namespace
           else scope.getOrElse(p, fail(s"""unbound namespace prefix: "$p"."""))
         XmlAttr(aname, p, l, uri, v)
       })
+      k += 1
     }
-    val attrs = attrsB.result()
+    val attrs = scala.collection.immutable.ArraySeq.unsafeWrapArray(attrsArr)
 
     seenRoot = true
     scopes = scope :: scopes
@@ -395,11 +419,6 @@ final class XmlTokenizer(handler: XmlEvent => Unit) {
     if (selfClosing) {
       popElement(name)
     }
-  }
-
-  private def splitQName(qname: String): (String, String) = {
-    val c = qname.indexOf(':')
-    if (c < 0) ("", qname) else (qname.substring(0, c), qname.substring(c + 1))
   }
 
   private def onCloseTag(name: String): Unit = {
