@@ -551,6 +551,35 @@ class W3cCasesSpec extends AnyFunSuite {
       "Base directions must either be 'ltr' or 'rtl', while 'xyz' was found.")
   }
 
+  test("rdf12-basic: parseType=Triple under rdf:version='1.2-basic' also yields a triple term (truthy-version gate)") {
+    // Reference quirk (`lib/RdfXmlParser.ts:857`): triple-term emission is
+    // gated on a TRUTHY rdfVersion, with no distinction between the '1.2'
+    // and '1.2-basic' profiles — pinned as reference behavior.
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG" rdf:version="1.2-basic">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:prop rdf:parseType="Triple">
+      <rdf:Description rdf:about="http://example/s"><eg:p rdf:resource="http://example/o"/></rdf:Description>
+    </eg:prop>
+  </rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}prop", s"<<http://example/s ${EG}p http://example/o>>"))
+  }
+
+  test("version quirk: its:dir attaches under rdf:version='1.1' too (truthy-version gate)") {
+    // Reference `lib/RdfXmlParser.ts:206`: direction is attached whenever
+    // ANY rdf:version is in scope, including '1.1'.
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG" xmlns:its="http://www.w3.org/2005/11/its" rdf:version="1.1">
+  <rdf:Description rdf:about="http://example/a" xml:lang="en" its:dir="ltr">
+    <eg:p>hello</eg:p>
+  </rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}p", "\"hello\"@en--ltr"))
+  }
+
   test("rdf12: unsupported rdf:version errors; parseUnsupportedVersions lifts it") {
     val doc =
       s"""<?xml version="1.0"?>
