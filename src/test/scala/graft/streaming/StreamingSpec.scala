@@ -106,6 +106,27 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("rdfxml DSv2 streaming read: gzip documents decompress through the shared reader") {
+    val tmp = Files.createTempDirectory("graft_stream_gz").toString
+    val input = s"$tmp/input"
+    new java.io.File(input).mkdirs()
+    val xml = """<?xml version="1.0"?>
+      |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://example.org/">
+      |  <rdf:Description rdf:about="http://example.org/z"><ex:name>z</ex:name></rdf:Description>
+      |</rdf:RDF>""".stripMargin
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(input, "z.rdf.gz")))
+    out.write(xml.getBytes("UTF-8")); out.close()
+    val q = spark.readStream.format("rdfxml").load(input)
+      .writeStream.format("memory").queryName("graft_gz")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("select subj, pred, obj from graft_gz").collect()
+    assert(rows.length == 1 && rows.head.getString(2) == "\"z\"")
+  }
+
   test("rdfxml DSv2 streaming read: an input dir that does not exist yet is 'no files', not an error") {
     val tmp = Files.createTempDirectory("graft_stream_nodir").toString
     val input = s"$tmp/not_created_yet"
