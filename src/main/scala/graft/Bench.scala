@@ -102,23 +102,29 @@ object Bench {
     // vs 3.4 s mid-run) because parse + native-expression codegen + parquet
     // string readers all compiled inside its timing. One tiny parse and one
     // native-sketch projection ahead of the timed loop pins that cost here.
+    // Warm-up failures must not kill the bench: the driver contract is one
+    // JSON line even when an auxiliary table is absent (e.g. targeted
+    // SPARK_GRAFT_ONLY profiling against a partial sf dir) — the affected
+    // query still fails per-query below, where it is caught and reported.
+    def warm(f: => Unit): Unit =
+      try f catch { case e: Exception => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
     if (!skipQueries) {
-      spark1.range(1 << 20).selectExpr("sum(id)").collect()
-      spark1.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
+      warm(spark1.range(1 << 20).selectExpr("sum(id)").collect())
+      warm(spark1.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect())
       // parse hot path: transcripts scan → RDF/XML parse (JIT + codegen)
-      ParseStage.parseTurns(
+      warm(ParseStage.parseTurns(
         Transcripts.transcripts(spark1, sfDir).select("conv_id", "turn_idx", "text").limit(64)
-      ).count()
+      ).count())
       // native sketch expressions: minhash/simhash/shingles/dot codegen
-      spark1.read.parquet(s"$sfDir/documents.parquet").limit(64)
+      warm(spark1.read.parquet(s"$sfDir/documents.parquet").limit(64)
         .select(
           graft.functions.GraftFunctions.minhash_sig(
             graft.functions.GraftFunctions.word_shingles(col("text"), 3)),
           graft.functions.GraftFunctions.simhash64(col("text")))
-        .collect()
-      spark1.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+        .collect())
+      warm(spark1.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
         .select(graft.functions.GraftFunctions.dot_f64(col("embedding"), col("embedding")))
-        .collect()
+        .collect())
     }
     // SPARK_GRAFT_ONLY=q1,q2 runs a subset (targeted profiling).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

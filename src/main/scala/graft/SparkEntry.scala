@@ -730,15 +730,19 @@ FROM base b JOIN cnt c USING (doc_id)""",
       s"""WITH p AS (SELECT doc_id,
   text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.' ||
   CAST(doc_id % 200 + 1 AS VARCHAR) || '.0.1 or +1 (555) 0' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS t
-FROM documents)
+FROM documents),
+r AS (SELECT doc_id, t,
+  regexp_replace(t, '${graft.ops.Pii.EmailRe}', '[EMAIL]', 'g') AS no_email
+FROM p),
+r2 AS (SELECT doc_id, t, no_email,
+  regexp_replace(no_email, '${graft.ops.Pii.Ipv4Re}', '[IP]', 'g') AS no_ip
+FROM r)
 SELECT doc_id,
   CAST(len(regexp_extract_all(t, '${graft.ops.Pii.EmailRe}')) AS INTEGER) AS n_emails,
-  CAST(len(regexp_extract_all(t, '${graft.ops.Pii.Ipv4Re}')) AS INTEGER) AS n_ips,
-  regexp_replace(regexp_replace(regexp_replace(t,
-    '${graft.ops.Pii.EmailRe}', '[EMAIL]', 'g'),
-    '${graft.ops.Pii.Ipv4Re}', '[IP]', 'g'),
-    '${graft.ops.Pii.PhoneRe}', '[PHONE]', 'g') AS redacted
-FROM p""",
+  CAST(len(regexp_extract_all(no_email, '${graft.ops.Pii.Ipv4Re}')) AS INTEGER) AS n_ips,
+  CAST(len(regexp_extract_all(no_ip, '${graft.ops.Pii.PhoneRe}')) AS INTEGER) AS n_phones,
+  regexp_replace(no_ip, '${graft.ops.Pii.PhoneRe}', '[PHONE]', 'g') AS redacted
+FROM r2""",
 
     "sample_per_lang" ->
       """SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (

@@ -125,17 +125,27 @@ object ConnectedComponents {
     * component representative regardless of which one runs — the choice
     * flips silently on edge count via `driverEdgeLimit`. */
   private[pipeline] def utf8Less(a: String, b: String): Boolean = {
-    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(ab.length, bb.length)
+    // Allocation-free (no getBytes re-encoding per comparison — this runs
+    // inside every union/find of the driver union-find): compare UTF-16
+    // code units with the ICU/Lucene surrogate fix-up, which yields exactly
+    // code-point (= UTF-8 byte) order. Only when both differing units are
+    // ≥ 0xD800 can unit order disagree with code-point order: surrogates
+    // (code points ≥ 0x10000) must sort above U+E000–U+FFFF.
+    val n = math.min(a.length, b.length)
     var i = 0
     while (i < n) {
-      val x = ab(i) & 0xff
-      val y = bb(i) & 0xff
-      if (x != y) return x < y
+      var x = a.charAt(i).toInt
+      var y = b.charAt(i).toInt
+      if (x != y) {
+        if (x >= 0xD800 && y >= 0xD800) {
+          x += (if (x >= 0xE000) -0x800 else 0x2000)
+          y += (if (y >= 0xE000) -0x800 else 0x2000)
+        }
+        return x < y
+      }
       i += 1
     }
-    ab.length < bb.length
+    a.length < b.length
   }
 
   /** Driver-side union-find over an already-deduplicated, bounded edge

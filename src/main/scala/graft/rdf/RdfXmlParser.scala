@@ -681,18 +681,23 @@ object RdfXmlParser {
     * `mapPartitions`. */
   def parse(text: String, opts: ParserOptions = ParserOptions()): Either[ParseError, Vector[Triple]] = {
     val out = Vector.newBuilder[Triple]
-    val parser = new RdfXmlParser(opts, out += _)
+    runToEither(new RdfXmlParser(opts, out += _), text)(out.result())
+  }
+
+  /** Single source of the exception → ParseError mapping shared by every
+    * batch entry point — a new error site added to the parser must not make
+    * the plain and factory surfaces diverge. */
+  private def runToEither[T](parser: RdfXmlParser, text: String)(result: => T): Either[ParseError, T] =
     try {
       parser.write(text)
       parser.end()
-      Right(out.result())
+      Right(result)
     } catch {
       case e: ParseException => Left(ParseError(e.rawMessage))
       case e: XmlSyntaxException => Left(ParseError(e.getMessage))
       case e: IriResolver.IriResolutionError => Left(ParseError(e.message))
       case e: NumberFormatException => Left(ParseError(s"Invalid character reference: ${e.getMessage}"))
     }
-  }
 
   /** Incremental parse surface for streaming-emission tests: feed chunks,
     * observe pushes. */
@@ -708,16 +713,7 @@ object RdfXmlParser {
       opts: ParserOptions = ParserOptions()): Either[ParseError, Vector[(N, N, N)]] = {
     val out = Vector.newBuilder[(N, N, N)]
     val parser = streamingWith(opts, factory)((s, p, o) => out += ((s, p, o)))
-    try {
-      parser.write(text)
-      parser.end()
-      Right(out.result())
-    } catch {
-      case e: ParseException => Left(ParseError(e.rawMessage))
-      case e: XmlSyntaxException => Left(ParseError(e.getMessage))
-      case e: IriResolver.IriResolutionError => Left(ParseError(e.message))
-      case e: NumberFormatException => Left(ParseError(s"Invalid character reference: ${e.getMessage}"))
-    }
+    runToEither(parser, text)(out.result())
   }
 
   /** Incremental parse through a custom [[TermFactory]]: each emitted triple

@@ -208,8 +208,14 @@ case class RdfXmlOffset(batchId: Long) extends org.apache.spark.sql.connector.re
   * documents), and schema are shared with the batch scan.
   *
   * At cluster scale the log grows one small file per trigger with work
-  * proportional to new files; the per-trigger listing diff is the same
-  * O(files-in-dir) cost Spark's own FileStreamSource pays.
+  * proportional to new files. Entries are CACHED in the stream instance
+  * after first read: the steady-state per-trigger cost is one `listStatus`
+  * of the log dir plus opens for only the entries not yet cached (normally
+  * the one just written) — NOT one open per historical batch per trigger,
+  * which on an object store would mean O(stream-age) GETs per trigger. A
+  * restart pays one full log replay (same as Spark's FileStreamSource), and
+  * the per-trigger input-dir listing diff is the same O(files-in-dir) cost
+  * FileStreamSource pays.
   */
 final class RdfXmlMicroBatchStream(
     inputDir: String, targetBytes: Long, pathFilters: Array[Filter],
@@ -222,17 +228,29 @@ final class RdfXmlMicroBatchStream(
   private val logDir = new Path(checkpointLocation, "rdfxml-file-log")
   private def fs = logDir.getFileSystem(hadoopConf.value)
 
-  private def logEntries(): Seq[(Long, Seq[String])] = {
-    if (!fs.exists(logDir)) return Seq.empty
-    fs.listStatus(logDir).toSeq
-      .flatMap(s => s.getPath.getName.toLongOption.map(_ -> s.getPath))
-      .sortBy(_._1)
-      .map { case (id, p) =>
-        val in = fs.open(p)
-        val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-        id -> text.split("\n").toSeq.filter(_.nonEmpty)
-      }
+  /** Committed log entries by batch id, accumulated across triggers (the
+    * driver-side stream instance lives for the whole query run). Only ids
+    * missing from the cache are opened; the log itself stays the durable
+    * source of truth. */
+  private val cachedEntries = scala.collection.mutable.TreeMap.empty[Long, Seq[String]]
+  /** Union of all cached entry files (the `seen` set for listing diffs). */
+  private val cachedSeen = scala.collection.mutable.HashSet.empty[String]
+
+  private def logEntries(): Seq[(Long, Seq[String])] = synchronized {
+    if (fs.exists(logDir)) {
+      fs.listStatus(logDir).toSeq
+        .flatMap(s => s.getPath.getName.toLongOption.map(_ -> s.getPath))
+        .filterNot { case (id, _) => cachedEntries.contains(id) }
+        .foreach { case (id, p) =>
+          val in = fs.open(p)
+          val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+          val files = text.split("\n").toSeq.filter(_.nonEmpty)
+          cachedEntries.put(id, files)
+          cachedSeen ++= files
+        }
+    }
+    cachedEntries.toSeq
   }
 
   private def writeEntry(batchId: Long, files: Seq[String]): Unit = {
@@ -248,10 +266,9 @@ final class RdfXmlMicroBatchStream(
   override def initialOffset(): Offset = RdfXmlOffset(-1L)
   override def deserializeOffset(json: String): Offset = RdfXmlOffset(json.trim.toLong)
 
-  override def latestOffset(): Offset = {
+  override def latestOffset(): Offset = synchronized {
     val entries = logEntries()
-    val maxId = if (entries.isEmpty) -1L else entries.map(_._1).max
-    val seen = entries.iterator.flatMap(_._2).toSet
+    val maxId = if (entries.isEmpty) -1L else entries.last._1
     // An input dir that does not exist yet is "no files yet", not an error:
     // streams routinely start before their producer creates the directory.
     val listed =
@@ -259,9 +276,14 @@ final class RdfXmlMicroBatchStream(
       catch { case _: java.io.FileNotFoundException => Seq.empty[FileStatus] }
     val fresh = listed
       .map(f => f.getPath.toString)
-      .filterNot(seen)
+      .filterNot(cachedSeen)
     if (fresh.isEmpty) RdfXmlOffset(maxId)
-    else { writeEntry(maxId + 1, fresh); RdfXmlOffset(maxId + 1) }
+    else {
+      writeEntry(maxId + 1, fresh)
+      cachedEntries.put(maxId + 1, fresh)
+      cachedSeen ++= fresh
+      RdfXmlOffset(maxId + 1)
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -267,20 +267,29 @@ class OpsSpec extends SparkSuite {
     assert(clusters.map(_._2).distinct.toSeq == Seq("0"))
   }
 
-  test("PII scrub: counts and redaction on crafted rows; clean text passes through untouched") {
+  test("PII scrub: counts equal redaction tokens; clean text passes through untouched") {
     import spark.implicits._
     val rows = Seq(
       (1L, "write to alice.smith+x@sub.example.org or bob@ex.io today"),
       (2L, "server at 192.168.0.1 and 10.0.0.255, call +1 (555) 123-4567"),
       (3L, "no pii here at all"),
       (4L, ""),
+      // an IP inside an email's domain is email, not email AND ip: counts
+      // are taken on the progressively redacted text so they always equal
+      // the [EMAIL]/[IP]/[PHONE] token counts in `redacted`
+      (5L, "reach bob@10.0.0.1.example.com maybe"),
     ).toDF("doc_id", "text")
-    val out = Pii.scrub(rows, col("text")).as[(Long, Int, Int, String)].collect()
+    val out = Pii.scrub(rows, col("text")).as[(Long, Int, Int, Int, String)].collect()
       .map(r => r._1 -> r).toMap
-    assert(out(1L)._2 == 2 && out(1L)._4 == "write to [EMAIL] or [EMAIL] today")
-    assert(out(2L)._3 == 2 && out(2L)._4 == "server at [IP] and [IP], call [PHONE]")
-    assert(out(3L) == ((3L, 0, 0, "no pii here at all")))
-    assert(out(4L) == ((4L, 0, 0, "")))
+    assert(out(1L) == ((1L, 2, 0, 0, "write to [EMAIL] or [EMAIL] today")))
+    assert(out(2L) == ((2L, 0, 2, 1, "server at [IP] and [IP], call [PHONE]")))
+    assert(out(3L) == ((3L, 0, 0, 0, "no pii here at all")))
+    assert(out(4L) == ((4L, 0, 0, 0, "")))
+    assert(out(5L) == ((5L, 1, 0, 0, "reach [EMAIL] maybe")))
+    out.values.foreach { case (_, ne, ni, np, red) =>
+      def count(tok: String) = red.sliding(tok.length).count(_ == tok)
+      assert(ne == count("[EMAIL]") && ni == count("[IP]") && np == count("[PHONE]"))
+    }
   }
 
   test("repetition stats: bigram mass and top-word frequency match hand counts") {
