@@ -183,7 +183,11 @@ final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType,
     * across restarts (file-log under the checkpoint). */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new RdfXmlMicroBatchStream(inputDir, targetBytes, pathFilters, hadoopConf,
-      checkpointLocation, () => createReaderFactory())
+      checkpointLocation, () => createReaderFactory(),
+      // Admission control (FileStreamSource's maxFilesPerTrigger): bound the
+      // files logged per micro-batch so a backlogged directory drains in
+      // right-sized batches instead of one giant first batch. 0 = unbounded.
+      maxFilesPerTrigger = options.getInt("maxFilesPerTrigger", 0))
 }
 
 case class RdfXmlInputPartition(files: Array[String]) extends InputPartition
@@ -220,10 +224,34 @@ case class RdfXmlOffset(batchId: Long) extends org.apache.spark.sql.connector.re
 final class RdfXmlMicroBatchStream(
     inputDir: String, targetBytes: Long, pathFilters: Array[Filter],
     hadoopConf: SerializableConfiguration, checkpointLocation: String,
-    readerFactory: () => PartitionReaderFactory)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    readerFactory: () => PartitionReaderFactory, maxFilesPerTrigger: Int = 0)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.Offset
+
+  /** Trigger.AvailableNow contract: snapshot the file universe at prepare
+    * time; latestOffset then drains exactly that snapshot (in
+    * maxFilesPerTrigger-bounded batches) and stops advancing — files
+    * arriving after prepare wait for the next query run. Without this,
+    * Spark's wrapper calls latestOffset once and a rate-limited backlog
+    * would only drain one batch per run. */
+  private var availableNowTarget: Seq[String] = null
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    logEntries() // populate the seen-set cache from the durable log
+    availableNowTarget = listInputDiff()
+  }
+
+  /** Current input-dir listing minus everything already logged. */
+  private def listInputDiff(): Seq[String] = {
+    // An input dir that does not exist yet is "no files yet", not an error:
+    // streams routinely start before their producer creates the directory.
+    val listed =
+      try RdfXmlScan.listDataFiles(inputDir, hadoopConf.value, pathFilters)
+      catch { case _: java.io.FileNotFoundException => Seq.empty[FileStatus] }
+    listed.map(f => f.getPath.toString).filterNot(cachedSeen)
+  }
 
   private val logDir = new Path(checkpointLocation, "rdfxml-file-log")
   private def fs = logDir.getFileSystem(hadoopConf.value)
@@ -266,17 +294,32 @@ final class RdfXmlMicroBatchStream(
   override def initialOffset(): Offset = RdfXmlOffset(-1L)
   override def deserializeOffset(json: String): Offset = RdfXmlOffset(json.trim.toLong)
 
-  override def latestOffset(): Offset = synchronized {
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger) else ReadLimit.allAvailable()
+  }
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = synchronized {
     val entries = logEntries()
     val maxId = if (entries.isEmpty) -1L else entries.last._1
-    // An input dir that does not exist yet is "no files yet", not an error:
-    // streams routinely start before their producer creates the directory.
-    val listed =
-      try RdfXmlScan.listDataFiles(inputDir, hadoopConf.value, pathFilters)
-      catch { case _: java.io.FileNotFoundException => Seq.empty[FileStatus] }
-    val fresh = listed
-      .map(f => f.getPath.toString)
-      .filterNot(cachedSeen)
+    val freshAll =
+      if (availableNowTarget != null) availableNowTarget.filterNot(cachedSeen)
+      else listInputDiff()
+    // Admission control: excess files stay unlogged and are picked up by
+    // subsequent triggers (deterministic path order, so drain order is
+    // stable). Under Trigger.AvailableNow the engine keeps triggering until
+    // the offset stops advancing, so a backlog drains fully in bounded
+    // batches rather than one giant first batch.
+    val fresh = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        freshAll.take(mf.maxFiles())
+      case _ => freshAll
+    }
     if (fresh.isEmpty) RdfXmlOffset(maxId)
     else {
       writeEntry(maxId + 1, fresh)

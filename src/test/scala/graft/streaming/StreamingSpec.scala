@@ -106,6 +106,33 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("rdfxml DSv2 streaming read: maxFilesPerTrigger drains a backlog in bounded batches") {
+    val tmp = Files.createTempDirectory("graft_stream_rate").toString
+    val input = s"$tmp/input"
+    new java.io.File(input).mkdirs()
+    for (i <- 1 to 5) {
+      val xml = s"""<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://example.org/">
+        |  <rdf:Description rdf:about="http://example.org/d$i"><ex:n>$i</ex:n></rdf:Description>
+        |</rdf:RDF>""".stripMargin
+      Files.write(java.nio.file.Paths.get(input, f"d$i%02d.rdf"), xml.getBytes("UTF-8"))
+    }
+    val q = spark.readStream.format("rdfxml").option("maxFilesPerTrigger", 2).load(input)
+      .writeStream.format("memory").queryName("graft_rate")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // the whole backlog drains (AvailableNow keeps triggering until the
+    // offset stops advancing), but in ≥ 3 bounded log batches, not one
+    assert(spark.sql("select * from graft_rate").count() == 5)
+    // the source checkpoint is nested (ckpt/sources/<i>); find the file-log
+    val logDir = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/ckpt"))
+      .filter(p => p.getFileName.toString == "rdfxml-file-log").findFirst().get().toFile
+    val logEntries = logDir.listFiles().filter(f => f.getName.forall(_.isDigit))
+    assert(logEntries.length >= 3, logEntries.map(_.getName).mkString(","))
+  }
+
   test("rdfxml DSv2 streaming read: gzip documents decompress through the shared reader") {
     val tmp = Files.createTempDirectory("graft_stream_gz").toString
     val input = s"$tmp/input"
