@@ -16,12 +16,25 @@ import org.apache.spark.unsafe.types.UTF8String
 private[functions] object InputCheck {
   def string(e: Expression, name: String): TypeCheckResult = e.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case org.apache.spark.sql.types.NullType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"$name requires a string input, got ${t.sql}")
   }
   def stringArray(e: Expression, name: String): TypeCheckResult = e.dataType match {
     case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    // NullType admitted like Spark builtins (a NULL literal evaluates to
+    // NULL via the null-safe eval; no implicit cast is inserted for custom
+    // expressions, so rejecting it would fail `f(NULL)` at analysis)
+    case org.apache.spark.sql.types.NullType => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(org.apache.spark.sql.types.NullType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$name requires an array<string> input (e.g. word_shingles(text, n)), got ${t.sql}")
+  }
+
+  def integral(e: Expression, name: String): TypeCheckResult = e.dataType match {
+    case LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$name requires an integral input, got ${t.sql}")
   }
 }
 
@@ -240,9 +253,12 @@ object ExprHelpers {
 /** murmur3 fmix64 finalizer as inline generated Java — the per-hash-function
   * mixing step of the MinHash family (`Linking.HashSeeds`). */
 case class Fmix64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.integral(child, "fmix64")
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any = {
-    var z = v.asInstanceOf[Long]
+    // Number, not Long: integral sub-long children are admitted (codegen
+    // widens int→long implicitly, and the interpreted path must agree).
+    var z = v.asInstanceOf[Number].longValue()
     z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
     z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
     z ^ (z >>> 33)
@@ -348,10 +364,14 @@ case class DotF64(left: Expression, right: Expression) extends BinaryExpression 
     case ArrayType(ByteType, _) => ExprHelpers.KindByte
     case _ => -1
   }
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (kindOf(left) >= 0 && kindOf(right) >= 0) TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // NullType children are admitted (value is always null → nullSafeEval
+    // short-circuits; matches Spark-builtin NULL-literal behavior).
+    def ok(e: Expression) = kindOf(e) >= 0 || e.dataType == org.apache.spark.sql.types.NullType
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"dot_f64 requires numeric array inputs, got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
   @transient private lazy val aKind = kindOf(left)
   @transient private lazy val bKind = kindOf(right)
   override protected def nullSafeEval(a: Any, b: Any): Any =

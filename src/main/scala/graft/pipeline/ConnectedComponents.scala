@@ -125,27 +125,48 @@ object ConnectedComponents {
     * component representative regardless of which one runs — the choice
     * flips silently on edge count via `driverEdgeLimit`. */
   private[pipeline] def utf8Less(a: String, b: String): Boolean = {
-    // Allocation-free (no getBytes re-encoding per comparison — this runs
-    // inside every union/find of the driver union-find): compare UTF-16
-    // code units with the ICU/Lucene surrogate fix-up, which yields exactly
-    // code-point (= UTF-8 byte) order. Only when both differing units are
-    // ≥ 0xD800 can unit order disagree with code-point order: surrogates
-    // (code points ≥ 0x10000) must sort above U+E000–U+FFFF.
+    // Fast path, allocation-free (this runs inside every union/find of the
+    // driver union-find): below the surrogate range, UTF-16 code-unit order
+    // IS UTF-8 byte order, so plain char compares suffice. The moment a
+    // differing position involves any unit ≥ 0xD800 we fall back to real
+    // byte comparison: Spark's UTF8String.fromString encodes UNPAIRED
+    // surrogates as '?' (0x3F), and no unit-level fix-up reproduces that —
+    // a lone \uD800 must sort below 'A', while a paired one sorts above
+    // U+FFFF. Mention/node ids are overwhelmingly ASCII, so the slow path
+    // is cold; correctness (same representative as the distributed path,
+    // regardless of which path runs) wins over speed there.
     val n = math.min(a.length, b.length)
     var i = 0
     while (i < n) {
-      var x = a.charAt(i).toInt
-      var y = b.charAt(i).toInt
+      val x = a.charAt(i).toInt
+      val y = b.charAt(i).toInt
       if (x != y) {
-        if (x >= 0xD800 && y >= 0xD800) {
-          x += (if (x >= 0xE000) -0x800 else 0x2000)
-          y += (if (y >= 0xE000) -0x800 else 0x2000)
-        }
-        return x < y
+        // Non-surrogate units order exactly like their UTF-8 bytes; only a
+        // surrogate (paired or lone) needs the byte-exact cold path.
+        def nonSurrogate(c: Int) = c < 0xD800 || c >= 0xE000
+        if (nonSurrogate(x) && nonSurrogate(y)) return x < y
+        return utf8LessBytes(a, b)
       }
       i += 1
     }
     a.length < b.length
+  }
+
+  /** Exact UTF-8 byte order via encoding — matches Spark's UTF8String
+    * semantics bit-for-bit, including '?' substitution for unpaired
+    * surrogates. Cold path of [[utf8Less]]. */
+  private def utf8LessBytes(a: String, b: String): Boolean = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val x = ab(i) & 0xff
+      val y = bb(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    ab.length < bb.length
   }
 
   /** Driver-side union-find over an already-deduplicated, bounded edge

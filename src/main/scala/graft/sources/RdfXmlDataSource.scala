@@ -116,13 +116,23 @@ object RdfXmlScan {
   private[sources] def listDataFiles(dir: String, conf: org.apache.hadoop.conf.Configuration,
                                      pathFilters: Array[Filter]): Seq[FileStatus] = {
     val fs = new Path(dir).getFileSystem(conf)
+    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
+    // Hidden names are filtered at EVERY path level (like Spark's own file
+    // index/stream source), not just the leaf: a producer's in-flight
+    // _temporary/.staging dirs contain part files whose leaf names look
+    // normal — listing those would ingest uncommitted data, and in the
+    // streaming path durably log paths the committer is about to rename
+    // away, wedging the exactly-once replay on a file that no longer exists.
     def list(p: Path): Seq[FileStatus] = {
       val st = fs.getFileStatus(p)
-      if (st.isDirectory) fs.listStatus(p).toSeq.flatMap(s => list(s.getPath))
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq
+          .filterNot(s => hidden(s.getPath.getName))
+          .flatMap(s => list(s.getPath))
       else Seq(st)
     }
     list(new Path(dir))
-      .filter(f => !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .filter(f => !hidden(f.getPath.getName))
       .filter(f => pathMatches(f.getPath.toString, pathFilters))
       .sortBy(_.getPath.toString)
   }
@@ -239,7 +249,7 @@ final class RdfXmlMicroBatchStream(
   private var availableNowTarget: Seq[String] = null
 
   override def prepareForTriggerAvailableNow(): Unit = synchronized {
-    logEntries() // populate the seen-set cache from the durable log
+    refreshLogCache() // populate the seen-set cache from the durable log
     availableNowTarget = listInputDiff()
   }
 
@@ -259,12 +269,18 @@ final class RdfXmlMicroBatchStream(
   /** Committed log entries by batch id, accumulated across triggers (the
     * driver-side stream instance lives for the whole query run). Only ids
     * missing from the cache are opened; the log itself stays the durable
-    * source of truth. */
+    * source of truth. The seen-set holds one path String per file ever
+    * streamed — the floor for listing-diff correctness (FileStreamSource's
+    * SeenFilesMap grows the same way; its maxFileAge eviction is a
+    * semantics trade this source does not make). Neither structure is
+    * copied per trigger: callers read the TreeMap in place. */
   private val cachedEntries = scala.collection.mutable.TreeMap.empty[Long, Seq[String]]
   /** Union of all cached entry files (the `seen` set for listing diffs). */
   private val cachedSeen = scala.collection.mutable.HashSet.empty[String]
 
-  private def logEntries(): Seq[(Long, Seq[String])] = synchronized {
+  /** Ingest log entries not yet cached (steady state: the one just written
+    * by the previous trigger, or none). */
+  private def refreshLogCache(): Unit = synchronized {
     if (fs.exists(logDir)) {
       fs.listStatus(logDir).toSeq
         .flatMap(s => s.getPath.getName.toLongOption.map(_ -> s.getPath))
@@ -278,7 +294,6 @@ final class RdfXmlMicroBatchStream(
           cachedSeen ++= files
         }
     }
-    cachedEntries.toSeq
   }
 
   private def writeEntry(batchId: Long, files: Seq[String]): Unit = {
@@ -305,8 +320,8 @@ final class RdfXmlMicroBatchStream(
 
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = synchronized {
-    val entries = logEntries()
-    val maxId = if (entries.isEmpty) -1L else entries.last._1
+    refreshLogCache()
+    val maxId = cachedEntries.lastOption.map(_._1).getOrElse(-1L)
     val freshAll =
       if (availableNowTarget != null) availableNowTarget.filterNot(cachedSeen)
       else listInputDiff()
@@ -332,7 +347,11 @@ final class RdfXmlMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[RdfXmlOffset].batchId
     val e = end.asInstanceOf[RdfXmlOffset].batchId
-    val files = logEntries().filter { case (id, _) => id > s && id <= e }.flatMap(_._2)
+    val files = synchronized {
+      refreshLogCache()
+      // TreeMap.range is [from, until): ids in (s, e]
+      cachedEntries.range(s + 1, e + 1).values.flatten.toSeq
+    }
     // Sizes re-fetched for bin-packing; a file deleted since logging still
     // fails the read (correct: the log is the source of truth, and silently
     // skipping logged data would break exactly-once).

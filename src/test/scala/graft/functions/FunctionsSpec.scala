@@ -64,6 +64,24 @@ class FunctionsSpec extends SparkSuite {
     assert(!optimized.contains("resolve_iri") && !optimized.contains("ResolveIri"), optimized)
   }
 
+  test("type checks: NULL literals pass analysis and evaluate to NULL; mistyped calls fail at analysis") {
+    GraftFunctions.register(spark)
+    // NULL literal (NullType child) is admitted like Spark builtins and
+    // null-propagates — previously-working behavior the new checks must keep
+    val nulls = spark.sql(
+      "SELECT fnv1a64(NULL) a, simhash64(NULL) b, fmix64(NULL) c, minhash_sig(NULL) d, dot_f64(NULL, NULL) e").head()
+    assert((0 until 5).forall(nulls.isNullAt))
+    // fmix64 admits sub-long integrals with codegen/interpreted agreement
+    assert(spark.sql("SELECT fmix64(CAST(7 AS INT))").head().getLong(0) ==
+      graft.pipeline.Linking.fmix64(7L))
+    // mistyped calls die in the ANALYZER with a readable message, not as a
+    // janino compile error + interpreted ClassCastException mid-job
+    for (bad <- Seq("minhash_sig('text')", "simhash64(42)", "fmix64('s')", "word_shingles(1, 3)")) {
+      val e = intercept[Exception](spark.sql(s"SELECT $bad").head())
+      assert(e.getMessage.contains("requires"), s"$bad: ${e.getMessage}")
+    }
+  }
+
   test("SQL registration: register() exposes the functions to spark.sql") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -65,6 +65,19 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(driver.values.toSet == Set(e000))
   }
 
+  test("utf8Less matches Spark's UTF8String byte order, including lone surrogates ('?' substitution)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val lone = "\ud800" // unpaired high surrogate: UTF8String encodes as '?' (0x3F)
+    val emoji = new String(Character.toChars(0x1F600))
+    val cases = Seq(
+      lone, "A", "!", emoji, "", "�", "", "zz", "\ud800A", "A\ud800",
+      emoji + "a", "\udc00" /* lone low surrogate */, "?" /* collides with lone-surrogate encoding */)
+    for (a <- cases; b <- cases) {
+      val expected = UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+      assert(ConnectedComponents.utf8Less(a, b) == expected, s"utf8Less(${a.codePoints().toArray.toSeq}, ${b.codePoints().toArray.toSeq})")
+    }
+  }
+
   test("long path converges within iteration budget (log-round behavior, distributed path)") {
     import spark.implicits._
     val n = 64

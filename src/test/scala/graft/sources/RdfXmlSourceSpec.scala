@@ -45,6 +45,21 @@ class RdfXmlSourceSpec extends SparkSuite {
     assert(bn.length == 1 && bn.head.getAs[String]("subj").matches("_:[0-9a-f]{32}_b0"))
   }
 
+  test("rdfxml source skips hidden directories at every level (_temporary staging is invisible)") {
+    val dir = Files.createTempDirectory("graft_rdfxml_hidden")
+    def doc(about: String) =
+      s"""<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://e.org/">
+         |<rdf:Description rdf:about="http://e.org/$about"><ex:p>v</ex:p></rdf:Description>
+         |</rdf:RDF>""".stripMargin
+    java.nio.file.Files.write(dir.resolve("good.rdf"), doc("good").getBytes("UTF-8"))
+    // a producer's in-flight commit dir: hidden DIR, normal leaf file name
+    val staging = dir.resolve("_temporary").resolve("0")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.write(staging.resolve("part-00000.rdf"), doc("uncommitted").getBytes("UTF-8"))
+    val rows = spark.read.format("rdfxml").load(dir.toString).collect()
+    assert(rows.map(_.getAs[String]("subj")).toSet == Set("<http://e.org/good>"))
+  }
+
   test("rdfxml source reads gzip-compressed documents (Hadoop codec by extension)") {
     val dir = Files.createTempDirectory("graft_rdfxml_gz")
     val doc =
