@@ -123,4 +123,22 @@ class ExpressionFuzzSpec extends SparkSuite {
       assert(java.lang.Double.doubleToRawLongBits(n) == java.lang.Double.doubleToRawLongBits(f))
     }
   }
+
+  test("property: repetitionStats fold == plain-Scala mirror on adversarial text") {
+    import spark.implicits._
+    // Plain-Scala mirror of the documented semantics (split keeps empty
+    // tokens; bigram distinct over document order; top word frequency).
+    def mirror(text: String): (Int, Int, Int) = {
+      val ws = text.split(" ", -1).toSeq
+      val bigrams = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val top = ws.groupBy(identity).values.map(_.size).max
+      (ws.size - 1, bigrams.distinct.size, top)
+    }
+    val df = samples(400).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.repetitionStats(df)
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    samples(400).zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == mirror(t), s"doc $i: ${t.take(60)}")
+    }
+  }
 }
