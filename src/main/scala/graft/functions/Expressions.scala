@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Analysis-time input checks: a mistyped call (e.g. `minhash_sig(text)`
@@ -266,8 +266,14 @@ case class Fmix64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val z = ctx.freshName("z")
+      // A NullType child is admitted (checkInputDataTypes: a NULL literal is
+      // a valid integral) but its codegen value is the Java literal `null` —
+      // `long z = null;` would not compile and the whole stage would fall
+      // back to interpreted execution. The null guard already short-circuits
+      // before this body runs, so any compiling dead value is correct.
+      val src = if (child.dataType == NullType) "0L" else c
       s"""
-         |long $z = $c;
+         |long $z = $src;
          |$z = ($z ^ ($z >>> 33)) * 0xff51afd7ed558ccdL;
          |$z = ($z ^ ($z >>> 33)) * 0xc4ceb9fe1a85ec53L;
          |${ev.value} = $z ^ ($z >>> 33);

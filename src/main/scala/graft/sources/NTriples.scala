@@ -51,6 +51,17 @@ object NTriples {
     def skipWs(): Unit = { while (i < n && (line.charAt(i) == ' ' || line.charAt(i) == '\t')) i += 1 }
     def err(msg: String): Option[NtRow] =
       Some(NtRow(null, null, null, null, s"$msg: ${line.take(160)}"))
+    // Is the '.' at `pos` the statement terminator (followed only by
+    // whitespace and/or a '#' comment)? Needed because blank-node labels and
+    // language tags may be followed DIRECTLY by the terminating dot in the
+    // W3C grammar (`_:b0.` / `"x"@en.`) while '.' is also a legal interior
+    // character of a blank-node label (`_:a.b`).
+    def isTerminatorDot(pos: Int): Boolean = {
+      if (line.charAt(pos) != '.') return false
+      var j = pos + 1
+      while (j < n && (line.charAt(j) == ' ' || line.charAt(j) == '\t')) j += 1
+      j >= n || line.charAt(j) == '#'
+    }
 
     skipWs()
     if (i >= n || line.charAt(i) == '#') return None // blank or comment line
@@ -96,7 +107,7 @@ object NTriples {
           if (!closed) return err("Unterminated literal")
           // language tag / direction / datatype suffix: @en, @en--ltr, ^^<dt>
           if (i < n && line.charAt(i) == '@') {
-            while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t') i += 1
+            while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t' && !isTerminatorDot(i)) i += 1
           } else if (i + 1 < n && line.charAt(i) == '^' && line.charAt(i + 1) == '^') {
             i += 2
             if (i >= n || line.charAt(i) != '<') return err("Malformed datatype suffix")
@@ -105,7 +116,7 @@ object NTriples {
             i = close + 1
           }
         case '_' =>
-          while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t') i += 1
+          while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t' && !isTerminatorDot(i)) i += 1
         case _ =>
           return err("Unexpected term start")
       }
@@ -115,7 +126,7 @@ object NTriples {
     if (i >= n || line.charAt(i) != '.') return err("Missing terminating '.'")
     i += 1
     skipWs()
-    if (i < n) return err("Trailing content after '.'")
+    if (i < n && line.charAt(i) != '#') return err("Trailing content after '.'")
     if (terms.length < 3 || terms.length > maxTerms)
       return err(s"Expected 3${if (maxTerms == 4) " or 4" else ""} terms, got ${terms.length}")
     Some(NtRow(terms(0), terms(1), terms(2),

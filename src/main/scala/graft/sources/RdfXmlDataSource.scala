@@ -352,13 +352,29 @@ final class RdfXmlMicroBatchStream(
       // TreeMap.range is [from, until): ids in (s, e]
       cachedEntries.range(s + 1, e + 1).values.flatten.toSeq
     }
-    // Sizes re-fetched for bin-packing; a file deleted since logging still
-    // fails the read (correct: the log is the source of truth, and silently
-    // skipping logged data would break exactly-once).
+    // Sizes re-fetched for bin-packing; a file deleted since logging fails
+    // the read (correct: the log is the source of truth, and silently
+    // skipping logged data would break exactly-once) — but it fails HERE at
+    // plan time, naming the log entry and the missing path, so an operator
+    // can tell producer-deleted input from a corrupt checkpoint instead of
+    // chasing an opaque task-level FileNotFoundException.
     val sized = files.map { p =>
       val path = new Path(p)
       val dataFs = path.getFileSystem(hadoopConf.value) // data may live on a different FS than the checkpoint
-      val len = try dataFs.getFileStatus(path).getLen catch { case _: java.io.FileNotFoundException => 0L }
+      val len =
+        try dataFs.getFileStatus(path).getLen
+        catch {
+          case _: java.io.FileNotFoundException =>
+            val entry = synchronized {
+              cachedEntries.range(s + 1, e + 1).collectFirst { case (id, fls) if fls.contains(p) => id }
+            }
+            throw new java.io.FileNotFoundException(
+              s"rdfxml stream: file '$p' is recorded in the durable file-log " +
+                s"($logDir${entry.map(id => s", entry $id").getOrElse("")}) for batches (${s + 1}..$e] " +
+                "but no longer exists on the data filesystem. The input was deleted after being " +
+                "logged (or the checkpoint references a different data location); exactly-once replay " +
+                "cannot skip logged data. Restore the file, or delete the checkpoint to re-stream from scratch.")
+        }
       (p, len)
     }
     RdfXmlScan.binPack(sized, targetBytes)

@@ -82,6 +82,22 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("fmix64(NULL literal) generated code compiles — no whole-stage fallback (r3 ADVICE)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.NullType
+    // Direct codegen: before the fix this emitted `long z = null;` (a Java
+    // compile error) and generate() threw, which in a real stage means the
+    // whole stage silently drops out of codegen.
+    val proj = GenerateUnsafeProjection.generate(Seq(Fmix64(Literal(null, NullType))))
+    assert(proj(InternalRow.empty).isNullAt(0))
+    // end-to-end over range-backed input (ConvertToLocalRelation would fold
+    // a local Seq): result is NULL per null-propagation
+    import GraftFunctions._
+    val got = spark.range(3).select(fmix64(lit(null)).as("m")).collect()
+    assert(got.length == 3 && got.forall(_.isNullAt(0)))
+  }
+
   test("SQL registration: register() exposes the functions to spark.sql") {
     GraftFunctions.register(spark)
     val r = spark.sql(

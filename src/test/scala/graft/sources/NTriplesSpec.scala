@@ -58,6 +58,29 @@ class NTriplesSpec extends SparkSuite {
       Seq("<http://e.org/s>", "<http://e.org/p>", "_:b0", null)))
   }
 
+  test("W3C grammar: terms directly followed by the terminating dot, interior label dots, trailing comments") {
+    // All spec-valid per the N-Triples grammar (r3 ADVICE): a blank-node
+    // label or language tag may abut the statement dot, '.' is a legal
+    // INTERIOR blank-node-label character, and a comment may follow the dot.
+    val dir = Files.createTempDirectory("graft_nt_w3c")
+    Files.write(dir.resolve("in.nt"),
+      ("<http://e.org/s> <http://e.org/p> _:b0.\n" +
+        "<http://e.org/s> <http://e.org/p> \"x\"@en.\n" +
+        "<http://e.org/s> <http://e.org/p> \"x\"@en--ltr. # dir tag abutting dot\n" +
+        "<http://e.org/s> <http://e.org/p> <http://e.org/o> . # trailing comment\n" +
+        "_:a.b <http://e.org/p> _:c.d .\n" +
+        "_:a.b <http://e.org/p> _:c.d. # interior dots AND abutting terminator\n").getBytes("UTF-8"))
+    val out = NTriples.read(spark, dir.toString)
+    val errs = out.filter(col("error").isNotNull).select("error").collect().map(_.getString(0))
+    assert(errs.isEmpty, errs.mkString("; "))
+    val objs = out.select("obj").collect().map(_.getString(0)).toSeq
+    assert(objs.count(_ == "_:b0") == 1)
+    assert(objs.count(_ == "\"x\"@en") == 1)
+    assert(objs.count(_ == "\"x\"@en--ltr") == 1)
+    assert(objs.count(_ == "_:c.d") == 2)
+    assert(out.filter(col("subj") === "_:a.b").count() == 2)
+  }
+
   test("comments and blank lines skipped; malformed lines go to the error channel") {
     val dir = Files.createTempDirectory("graft_nt_err")
     Files.write(dir.resolve("in.nt"),

@@ -166,6 +166,32 @@ class StreamingSpec extends SparkSuite {
     assert(spark.sql("select * from graft_nodir").count() == 0)
   }
 
+  test("rdfxml DSv2 streaming: a logged file deleted before replay fails at PLAN time naming log entry + path") {
+    val tmp = Files.createTempDirectory("graft_stream_gone").toString
+    val input = s"$tmp/input"
+    new java.io.File(input).mkdirs()
+    val doc = """<?xml version="1.0"?>
+      |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://example.org/">
+      |  <rdf:Description rdf:about="http://example.org/a"><ex:n>1</ex:n></rdf:Description>
+      |</rdf:RDF>""".stripMargin
+    Files.write(java.nio.file.Paths.get(input, "d1.rdf"), doc.getBytes("UTF-8"))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.GraftSqlBridge.hadoopConfWithOptions(spark, Map.empty))
+    val stream = new graft.sources.RdfXmlMicroBatchStream(
+      input, 32L * 1024 * 1024, Array.empty, conf, s"$tmp/ckpt", () => null)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val start = stream.initialOffset()
+    val end = stream.latestOffset(start, ReadLimit.allAvailable())
+    assert(new java.io.File(input, "d1.rdf").delete())
+    // Replay of the logged-but-vanished file must fail AT PLAN TIME with a
+    // message naming the file-log and the missing path — not as an opaque
+    // task-level FileNotFoundException (r3 ADVICE).
+    val e = intercept[java.io.FileNotFoundException](stream.planInputPartitions(start, end))
+    assert(e.getMessage.contains("d1.rdf"), e.getMessage)
+    assert(e.getMessage.contains("rdfxml-file-log"), e.getMessage)
+    assert(e.getMessage.contains("entry 0"), e.getMessage)
+  }
+
   test("streaming resume: restart from checkpoint does not duplicate output") {
     val tmp = Files.createTempDirectory("graft_stream2").toString
     val input = s"$tmp/input"
