@@ -118,14 +118,16 @@ object SparkEntry {
       graft.ops.Similarity.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
     // approximate ANN paths — oracle-gated exactly: the seeded hyperplanes /
     // codebook are replayed in SQL with fold-exact double arithmetic
+    // dim passed explicitly (the oracle's plane literals are dim-64 anyway):
+    // no per-query limit(1) probe job in the plan
     "sim_lsh_topk" -> ((s, dir) =>
-      graft.ops.Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
+      graft.ops.Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5, dim = 64)),
     "sim_ivf_topk" -> ((s, dir) =>
       graft.ops.Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
     // scale-path near-dup pairs: LSH bucket blocking + exact-cosine verify
     // over the FULL table (vs sim_neardup's bounded-cartesian exact tool)
     "sim_lsh_neardup" -> ((s, dir) =>
-      graft.ops.Similarity.lshNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
+      graft.ops.Similarity.lshNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35, dim = 64)),
     "sim_neardup" -> ((s, dir) => // 0.35 ~ p99.9 of this corpus: non-empty but selective
       graft.ops.Similarity.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35, 200)),
 

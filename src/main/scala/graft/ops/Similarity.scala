@@ -74,19 +74,32 @@ object Similarity {
     * assignment — shared by [[lshTopK]] and [[lshNearDupPairs]]. A narrow
     * projection (native dot against plane literals) plus a `tables`-way
     * explode; no shuffle. */
-  private[graft] def hyperplaneBuckets(embeddings: DataFrame,
-                                       tables: Int, bitsPerTable: Int): DataFrame = {
-    // An empty table (or a fully-filtered partition of the corpus) must mean
-    // zero buckets, not a driver crash deriving the plane dimension.
+  /** The embedding dimensionality, WITHOUT running a Spark job when
+    * avoidable: an explicit `dim` parameter wins, then a `dim` key in the
+    * embedding column's schema metadata; only as a last resort is one row
+    * probed (`limit(1)` = an extra job per sim query, and a scan hazard on a
+    * corpus whose first partitions are empty-heavy — r3 verdict). Returns 0
+    * for an empty table (callers emit zero buckets). */
+  private[graft] def embeddingDim(embeddings: DataFrame, dim: Int): Int = {
+    if (dim > 0) return dim
+    val meta = embeddings.schema.find(_.name == "embedding").map(_.metadata)
+    if (meta.exists(_.contains("dim"))) return meta.get.getLong("dim").toInt
     val firstEmb = embeddings.select(col("embedding"))
       .filter(col("embedding").isNotNull).limit(1).collect()
-    if (firstEmb.isEmpty)
+    if (firstEmb.isEmpty) 0 else firstEmb.head.getSeq[Any](0).size
+  }
+
+  private[graft] def hyperplaneBuckets(embeddings: DataFrame,
+                                       tables: Int, bitsPerTable: Int, dim: Int = 0): DataFrame = {
+    // An empty table (or a fully-filtered partition of the corpus) must mean
+    // zero buckets, not a driver crash deriving the plane dimension.
+    val d = embeddingDim(embeddings, dim)
+    if (d == 0)
       return withNorms(embeddings)
         .select(col("vec_id"), col("embedding"), col("n"),
           lit(0).as("table"), lit(0).as("bucket"))
         .filter(lit(false))
-    val dim = firstEmb.head.getSeq[Any](0).size
-    val ps = planes(tables * bitsPerTable, dim)
+    val ps = planes(tables * bitsPerTable, d)
     val bucketCols = (0 until tables).map { t =>
       val bits = (0 until bitsPerTable).map { b =>
         val p = ps(t * bitsPerTable + b)
@@ -100,8 +113,8 @@ object Similarity {
   }
 
   def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              tables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
-    val withBuckets = hyperplaneBuckets(embeddings, tables, bitsPerTable)
+              tables: Int = 8, bitsPerTable: Int = 4, dim: Int = 0): DataFrame = {
+    val withBuckets = hyperplaneBuckets(embeddings, tables, bitsPerTable, dim)
     val queries = withBuckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q"), col("embedding").as("qe"), col("n").as("qn"),
         col("table"), col("bucket"))
@@ -187,9 +200,10 @@ object Similarity {
     * colliding in no table is missed; OpsSpec asserts recall vs exact. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
                       tables: Int = 8, bitsPerTable: Int = 4,
-                      maxBucketSize: Int = graft.pipeline.Linking.DefaultMaxBucketSize): DataFrame = {
+                      maxBucketSize: Int = graft.pipeline.Linking.DefaultMaxBucketSize,
+                      dim: Int = 0): DataFrame = {
     val b = graft.pipeline.Linking.capBucket(
-      hyperplaneBuckets(embeddings, tables, bitsPerTable),
+      hyperplaneBuckets(embeddings, tables, bitsPerTable, dim),
       Seq("table", "bucket"), "vec_id", maxBucketSize)
     // Verify-then-dedup, deliberately: a pair colliding in k of the `tables`
     // tables pays the exact-cosine dot k times, but scoring is a MAP-SIDE

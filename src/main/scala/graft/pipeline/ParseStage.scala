@@ -43,29 +43,16 @@ object ParseStage {
       .withColumn("dense", col("turn_rank") === col("turn_idx"))
   }
 
-  /** Canonical blank-node relabeling (P4): bnodes are renumbered `b0, b1,…`
-    * in order of first appearance in the emitted stream, then prefixed with
-    * the document lineage — `_:{conv}_{turn}_bN`. First-appearance order is
-    * deterministic for a deterministic document, independent of internal
-    * counter details (e.g. the root element consuming a counter slot), and
-    * globally unique across the corpus. */
-  private final class Relabeler(prefix: String) {
-    private val seen = scala.collection.mutable.HashMap.empty[String, String]
-    def apply(t: Term): Term = t match {
-      case BNode(l) => BNode(seen.getOrElseUpdate(l, prefix + "b" + seen.size))
-      case TripleTerm(tr) => TripleTerm(Triple(apply(tr.subj), apply(tr.pred), apply(tr.obj)))
-      case other => other
-    }
-  }
-
   private[pipeline] def toRows(conv: String, turn: Int, parsed: Either[ParseError, Vector[Triple]]): Iterator[TripleRow] =
     parsed match {
       case Left(e) =>
         Iterator(TripleRow(conv, turn, null, null, null, "error", null, null, null, e.message))
       case Right(ts) =>
+        // P4: canonical bnode relabel `_:{conv}_{turn}_bN` (shared impl —
+        // see graft.rdf.Relabeler)
         val relabel = new Relabeler(s"${conv}_${turn}_")
         ts.iterator.map { t0 =>
-          val t = Triple(relabel(t0.subj), relabel(t0.pred), relabel(t0.obj))
+          val t = relabel(t0)
           val (oty, lex, dt, lang) = t.obj match {
             case Lit(l, d, la, _) => ("literal", l, d, la)
             case Iri(_)           => ("iri", null, null, null)

@@ -76,6 +76,28 @@ final case class Triple(subj: Term, pred: Term, obj: Term) {
   def ntriples: String = subj.ntriples + " " + pred.ntriples + " " + obj.ntriples + " ."
 }
 
+/** Canonical blank-node relabeling shared by every parse surface (pipeline
+  * stage P4 and the DSv2 source): bnodes are renumbered `b0, b1, …` in order
+  * of first appearance in the emitted stream — deterministic for a
+  * deterministic document and independent of internal counter details — then
+  * prefixed with the caller's document lineage (`{conv}_{turn}_` /
+  * `{md5(path)}_`), making labels globally unique across the corpus.
+  * Recurses into RDF 1.2 triple terms. One instance per document.
+  *
+  * One implementation on purpose: the pipeline and the source each had a
+  * private copy, and the two diverged once (the truncated-MD5-prefix
+  * collision bug) before being re-unified here.
+  */
+final class Relabeler(prefix: String) {
+  private val seen = scala.collection.mutable.HashMap.empty[String, String]
+  def apply(t: Term): Term = t match {
+    case BNode(l) => BNode(seen.getOrElseUpdate(l, prefix + "b" + seen.size))
+    case TripleTerm(tr) => TripleTerm(apply(tr))
+    case other => other
+  }
+  def apply(t: Triple): Triple = Triple(apply(t.subj), apply(t.pred), apply(t.obj))
+}
+
 object RdfVocab {
   val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
   val XML = "http://www.w3.org/XML/1998/namespace"

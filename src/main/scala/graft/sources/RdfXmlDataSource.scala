@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.rdf.{BNode, Iri, Lit, ParseError, ParserOptions, RdfXmlParser, Term, Triple, TripleTerm}
+import graft.rdf.{BNode, Iri, Lit, ParseError, ParserOptions, RdfXmlParser, Relabeler, Term, Triple, TripleTerm}
 
 /** `spark.read.format("rdfxml")` — a DataSource V2 batch source that parses
   * RDF/XML files into triple rows, re-expressing the reference's primary
@@ -421,20 +421,6 @@ final class RdfXmlPartitionReader(
     finally in.close()
   }
 
-  /** Deterministic, globally-unique bnode relabel: first-appearance order
-    * within the document, prefixed by the FULL 128-bit path MD5 (same scheme
-    * as ParseStage P4, keyed by file instead of (conv, turn)). A truncated
-    * prefix is not collision-safe: 32 bits birthday-collides at ~65k files,
-    * silently merging unrelated blank nodes across documents. */
-  private final class Relabeler(prefix: String) {
-    private val seen = scala.collection.mutable.HashMap.empty[String, String]
-    def apply(t: Term): Term = t match {
-      case BNode(l) => BNode(seen.getOrElseUpdate(l, prefix + "b" + seen.size))
-      case TripleTerm(tr) => TripleTerm(Triple(apply(tr.subj), apply(tr.pred), apply(tr.obj)))
-      case other => other
-    }
-  }
-
   private def utf8(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
 
   private def toRow(path: String, t: Triple, err: String): InternalRow = {
@@ -469,10 +455,14 @@ final class RdfXmlPartitionReader(
       rows = RdfXmlParser.parse(readFile(path), opts) match {
         case Left(ParseError(msg)) => Iterator.single(toRow(path, null, msg))
         case Right(ts) =>
+          // Globally-unique bnode relabel (shared graft.rdf.Relabeler), keyed
+          // by file: the FULL 128-bit path MD5 as prefix — a truncated prefix
+          // is not collision-safe (32 bits birthday-collides at ~65k files,
+          // silently merging unrelated blank nodes across documents).
           val relabel = new Relabeler(
             java.security.MessageDigest.getInstance("MD5")
               .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString + "_")
-          ts.iterator.map(t => toRow(path, Triple(relabel(t.subj), relabel(t.pred), relabel(t.obj)), null))
+          ts.iterator.map(t => toRow(path, relabel(t), null))
       }
     }
     rows.hasNext

@@ -138,6 +138,40 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("sim LSH queries plan with ZERO driver-side probe jobs when dim is explicit") {
+    // r3 verdict: hyperplaneBuckets ran a limit(1).collect() per call to
+    // learn the embedding dim — an extra Spark job on every sim query and a
+    // scan-pruning hazard at corpus scale. With dim passed (as the
+    // SparkEntry queries now do), constructing the plan must launch no job.
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    e.schema // parquet schema inference runs its own job; exclude it
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        names.add(js.stageInfos.map(_.name).mkString("|"))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df1 = graft.ops.Similarity.lshTopK(e, 16, 5, dim = 64)
+      val df2 = graft.ops.Similarity.lshNearDupPairs(e, 0.35, dim = 64)
+      df1.queryExecution.optimizedPlan // force analysis + optimization
+      df2.queryExecution.optimizedPlan
+      // Sentinel job: the listener bus is FIFO, so once the sentinel's
+      // JobStart has been observed, any probe job launched during plan
+      // construction would have been counted already. An RDD count is
+      // exactly one job (an SQL count under AQE is two).
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(jobs.get() == 1,
+        s"plan construction launched ${jobs.get() - 1} extra Spark job(s): " +
+          names.toArray.mkString("; "))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("text_pii and text_repetition are map-only: scan → project, no Exchange, pruned read") {
     for (name <- Seq("text_pii", "text_repetition")) {
       val p = plan(q(name))
