@@ -38,6 +38,18 @@ object SparkEntry {
         .filter(col("error").isNull)
         .groupBy("pred").agg(count(lit(1)).as("n"))),
 
+    // P1/P9 end-to-end through the driver's hash gate: parse → N-Triples
+    // text SINK → N-Triples SOURCE (decomposed-column tokenizer). Equality
+    // with the expected-triples oracle proves sink serialization and source
+    // tokenization are mutually exact, not just self-consistent.
+    "kg_nt_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft_nt_rt_" + Integer.toHexString(dir.hashCode)
+      Materialize.ntriples(ParseStage.parsedTranscripts(s, dir).toDF(), out)
+      graft.sources.NTriples.read(s, out)
+        .filter(col("error").isNull)
+        .select("subj", "pred", "obj")
+    }),
+
     // P2: conversation reconstruction + per-turn text equality evidence
     "kg_turn_text" -> ((s, dir) =>
       ParseStage.reconstructConversations(Transcripts.transcripts(s, dir))
@@ -508,6 +520,7 @@ SELECT q, neighbor, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= $k"""
         "SELECT DISTINCT x.mention AS a, y.mention AS b FROM capped x " +
         "JOIN capped y ON x.band = y.band AND x.bkey = y.bkey AND x.mention < y.mention"),
     "kg_triples" -> s"$expectedTriplesCte SELECT conv_id, turn_idx, subj, pred, obj FROM expected",
+    "kg_nt_roundtrip" -> s"$expectedTriplesCte SELECT subj, pred, obj FROM expected",
     "kg_parse_errors" -> "SELECT CAST(0 AS BIGINT) AS n",
     "kg_pred_counts" -> s"$expectedTriplesCte SELECT pred, COUNT(*) AS n FROM expected GROUP BY pred",
     "kg_turn_text" -> turnTextSql,

@@ -5,9 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** N-Triples / N-Quads SOURCE — the read half of `Materialize.ntriples` /
   * `.nquads` (and of any standard N-Triples dump): lines → rows carrying the
   * same canonical term TEXT the rest of the pipeline uses in its `subj` /
-  * `pred` / `obj` columns. Terms are tokenized, not decoded — the pipeline's
-  * column convention IS serialized term text, so a sink→source round trip is
-  * the identity on the columns.
+  * `pred` / `obj` columns, PLUS the decomposed object fields
+  * (`obj_type`/`lexical`/`datatype`/`lang`) the rdfxml source and the parse
+  * stage emit — so a dump read through this source drops into every
+  * downstream relational operator without re-tokenizing terms. A sink →
+  * source round trip is the identity on the term columns.
   *
   * Scale shape: built on Spark's line-splittable text reader — a 100 TB dump
   * scans at full partition parallelism with no custom connector needed — and
@@ -15,14 +17,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parse stage (manual column pruning is moot: text has one column).
   * Malformed lines go to the `error` column instead of killing the task
   * (same error-channel contract as the rdfxml source, reference R28).
+  *
+  * Streaming ([[stream]]/[[streamQuads]]) deliberately reuses Spark's
+  * built-in text FileStreamSource rather than the rdfxml source's custom
+  * whole-file MicroBatchStream: RDF/XML documents are unsplittable (one
+  * parser state machine per file), so that source had to own its file-log —
+  * but N-Triples lines are independent, and the built-in source gives the
+  * same durable file-log / exactly-once / maxFilesPerTrigger semantics while
+  * KEEPING within-file split parallelism, which a whole-file stream would
+  * forfeit on a dump of a few huge files.
   */
 object NTriples {
 
-  /** Row: term texts, or `error` for an unparseable line (terms null). */
+  /** Row: term texts + decomposed object fields, or `error` for an
+    * unparseable line (terms null, obj_type "error" — the same convention as
+    * [[graft.pipeline.TripleRow]]). */
   final case class NtRow(subj: String, pred: String, obj: String,
+      obj_type: String, lexical: String, datatype: String, lang: String,
       graph: String, error: String)
 
-  /** Read an N-Triples dump: columns (subj, pred, obj, error). */
+  /** Read an N-Triples dump: columns (subj, pred, obj, obj_type, lexical,
+    * datatype, lang, error). */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.textFile(path)
@@ -31,12 +46,35 @@ object NTriples {
       .drop("graph")
   }
 
-  /** Read an N-Quads dump: columns (subj, pred, obj, graph, error); `graph`
-    * is null for default-graph lines (3 terms). */
+  /** Read an N-Quads dump: columns (subj, pred, obj, obj_type, lexical,
+    * datatype, lang, graph, error); `graph` is null for default-graph lines
+    * (3 terms). */
   def readQuads(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.textFile(path)
       .mapPartitions(_.flatMap(parseLine(_, maxTerms = 4)))
+      .toDF()
+  }
+
+  /** `readStream` surface for a directory of N-Triples dumps: Spark's text
+    * FileStreamSource (durable file log under the checkpoint, exactly-once
+    * replay, `Trigger.AvailableNow` supported) feeding the same per-line
+    * scanner as [[read]]. `maxFilesPerTrigger` > 0 bounds files admitted per
+    * micro-batch (backlog drains in bounded batches). */
+  def stream(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 0): DataFrame =
+    streamLines(spark, path, maxFilesPerTrigger, maxTerms = 3).drop("graph")
+
+  /** Streaming [[readQuads]] — see [[stream]]. */
+  def streamQuads(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 0): DataFrame =
+    streamLines(spark, path, maxFilesPerTrigger, maxTerms = 4)
+
+  private def streamLines(spark: SparkSession, path: String,
+                          maxFilesPerTrigger: Int, maxTerms: Int): DataFrame = {
+    import spark.implicits._
+    val reader = spark.readStream
+    if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    reader.textFile(path)
+      .mapPartitions(_.flatMap(parseLine(_, maxTerms)))
       .toDF()
   }
 
@@ -50,7 +88,7 @@ object NTriples {
     val n = line.length
     def skipWs(): Unit = { while (i < n && (line.charAt(i) == ' ' || line.charAt(i) == '\t')) i += 1 }
     def err(msg: String): Option[NtRow] =
-      Some(NtRow(null, null, null, null, s"$msg: ${line.take(160)}"))
+      Some(NtRow(null, null, null, "error", null, null, null, null, s"$msg: ${line.take(160)}"))
     // Is the '.' at `pos` the statement terminator (followed only by
     // whitespace and/or a '#' comment)? Needed because blank-node labels and
     // language tags may be followed DIRECTLY by the terminating dot in the
@@ -129,7 +167,87 @@ object NTriples {
     if (i < n && line.charAt(i) != '#') return err("Trailing content after '.'")
     if (terms.length < 3 || terms.length > maxTerms)
       return err(s"Expected 3${if (maxTerms == 4) " or 4" else ""} terms, got ${terms.length}")
-    Some(NtRow(terms(0), terms(1), terms(2),
+    val (oty, lex, dt, lang) = decomposeObject(terms(2)) match {
+      case Right(d) => d
+      case Left(msg) => return err(msg)
+    }
+    Some(NtRow(terms(0), terms(1), terms(2), oty, lex, dt, lang,
       if (terms.length == 4) terms(3) else null, null))
+  }
+
+  /** Decompose a scanned object term into (obj_type, lexical, datatype,
+    * lang) — the same fields [[graft.pipeline.TripleRow]] carries: `lexical`
+    * is the UNESCAPED literal value, `datatype` the bare datatype IRI,
+    * `lang` the language tag WITHOUT the RDF 1.2 `--dir` suffix (direction
+    * stays visible in the canonical `obj` text, exactly as in the rdfxml
+    * source's rows). The term text was already boundary-validated by the
+    * caller's scan. */
+  private[sources] def decomposeObject(obj: String): Either[String, (String, String, String, String)] =
+    if (obj.startsWith("<<(")) Right(("triple", null, null, null))
+    else if (obj.startsWith("<")) Right(("iri", null, null, null))
+    else if (obj.startsWith("_:")) Right(("bnode", null, null, null))
+    else {
+      // literal: find the escape-aware closing quote
+      var i = 1
+      var close = -1
+      while (i < obj.length && close < 0) {
+        val c = obj.charAt(i)
+        if (c == '\\') i += 2
+        else { if (c == '"') close = i; i += 1 }
+      }
+      if (close < 0) return Left("Unterminated literal")
+      unescape(obj.substring(1, close)).flatMap { lex =>
+        val suffix = obj.substring(close + 1)
+        if (suffix.isEmpty) Right(("literal", lex, null, null))
+        else if (suffix.startsWith("^^<") && suffix.endsWith(">"))
+          Right(("literal", lex, suffix.substring(3, suffix.length - 1), null))
+        else if (suffix.startsWith("@")) {
+          val tag = suffix.substring(1)
+          val dirSep = tag.indexOf("--")
+          Right(("literal", lex, null, if (dirSep >= 0) tag.substring(0, dirSep) else tag))
+        }
+        else Left("Malformed literal suffix")
+      }
+    }
+
+  /** Reverse of the N-Triples string escaping (`graft.rdf.Lit.escape` plus
+    * the full W3C ECHAR/UCHAR set: \\t \\b \\n \\r \\f \\" \\' \\\\ and
+    * \\uXXXX / \\UXXXXXXXX numeric escapes). */
+  private[sources] def unescape(s: String): Either[String, String] = {
+    val bs = s.indexOf('\\')
+    if (bs < 0) return Right(s) // common case: no escapes, zero copy
+    val sb = new java.lang.StringBuilder(s.length)
+    sb.append(s, 0, bs)
+    var i = bs
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '\\') { sb.append(c); i += 1 }
+      else {
+        if (i + 1 >= s.length) return Left("Dangling escape in literal")
+        s.charAt(i + 1) match {
+          case 't' => sb.append('\t'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '"' => sb.append('"'); i += 2
+          case '\'' => sb.append('\''); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' =>
+            if (i + 6 > s.length) return Left("Truncated \\u escape in literal")
+            try sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            catch { case _: NumberFormatException => return Left("Malformed \\u escape in literal") }
+            i += 6
+          case 'U' =>
+            if (i + 10 > s.length) return Left("Truncated \\U escape in literal")
+            try sb.appendCodePoint(Integer.parseInt(s.substring(i + 2, i + 10), 16))
+            catch { case _: NumberFormatException | _: IllegalArgumentException =>
+              return Left("Malformed \\U escape in literal") }
+            i += 10
+          case other => return Left(s"Unknown escape '\\$other' in literal")
+        }
+      }
+    }
+    Right(sb.toString)
   }
 }
