@@ -13,6 +13,7 @@ import graft.pipeline._
 object SparkEntry {
 
   import Transcripts.{Base, Voc, RdfNs, XsdInt, Convs}
+  import Transcripts.{MalformedMod => MalMod, MalformedRem => MalRem}
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * end-to-end transcript → parse → predicate histogram. */
@@ -313,12 +314,14 @@ expected AS (
   UNION ALL SELECT conv_id, turn_idx, '<${Base}d' || doc_id || '>', '<${Voc}meta>', '_:' || conv_id || '_' || turn_idx || '_b0' FROM d WHERE doc_id % 4 = 2
   UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${Voc}chars>', '"' || n_chars || '"' FROM d WHERE doc_id % 4 = 2
   UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${Voc}source>', '"' || source || '"' FROM d WHERE doc_id % 4 = 2
-  -- v3: parseType=Collection rdf:List chain (_:b0, _:b1)
-  UNION ALL SELECT conv_id, turn_idx, '<${Base}d' || doc_id || '>', '<${Voc}tags>', '_:' || conv_id || '_' || turn_idx || '_b0' FROM d WHERE doc_id % 4 = 3
-  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${RdfNs}first>', '<${Base}t/' || lang || '>' FROM d WHERE doc_id % 4 = 3
-  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${RdfNs}rest>', '_:' || conv_id || '_' || turn_idx || '_b1' FROM d WHERE doc_id % 4 = 3
-  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b1', '<${RdfNs}first>', '<${Base}t/' || source || '>' FROM d WHERE doc_id % 4 = 3
-  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b1', '<${RdfNs}rest>', '<${RdfNs}nil>' FROM d WHERE doc_id % 4 = 3
+  -- v3: parseType=Collection rdf:List chain (_:b0, _:b1). The malformed-doc
+  -- rule (doc_id % $MalMod = $MalRem, an error row not a triple source) is
+  -- congruent to 3 mod 4, so only these branches carry the exclusion.
+  UNION ALL SELECT conv_id, turn_idx, '<${Base}d' || doc_id || '>', '<${Voc}tags>', '_:' || conv_id || '_' || turn_idx || '_b0' FROM d WHERE doc_id % 4 = 3 AND doc_id % $MalMod <> $MalRem
+  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${RdfNs}first>', '<${Base}t/' || lang || '>' FROM d WHERE doc_id % 4 = 3 AND doc_id % $MalMod <> $MalRem
+  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${RdfNs}rest>', '_:' || conv_id || '_' || turn_idx || '_b1' FROM d WHERE doc_id % 4 = 3 AND doc_id % $MalMod <> $MalRem
+  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b1', '<${RdfNs}first>', '<${Base}t/' || source || '>' FROM d WHERE doc_id % 4 = 3 AND doc_id % $MalMod <> $MalRem
+  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b1', '<${RdfNs}rest>', '<${RdfNs}nil>' FROM d WHERE doc_id % 4 = 3 AND doc_id % $MalMod <> $MalRem
 )"""
   }
 
@@ -343,11 +346,12 @@ turns AS (
   SELECT conv_id, CAST(rn*2 AS INTEGER) AS turn_idx,
     CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
     CASE WHEN doc_id % 3 = 2 THEN 'kg-extractor' ELSE NULL END AS tool,
-    CASE doc_id % 4
-      WHEN 0 THEN '$head<g:Document rdf:about="d' || doc_id || '" g:source="' || source || '"><g:lang>' || lang || '</g:lang><g:chars rdf:datatype="$XsdInt">' || n_chars || '</g:chars><g:corpus rdf:resource="corpus/' || source || '"/></g:Document>$tail'
-      WHEN 1 THEN '$head<g:Entry rdf:about="d' || doc_id || '"><g:title xml:lang="' || lang || '">Document ' || doc_id || '</g:title><g:src rdf:ID="st' || doc_id || '" rdf:resource="corpus/' || source || '"/></g:Entry>$tail'
-      WHEN 2 THEN '$head<rdf:Description rdf:about="d' || doc_id || '"><g:meta rdf:parseType="Resource"><g:chars>' || n_chars || '</g:chars><g:source>' || source || '</g:source></g:meta></rdf:Description>$tail'
-      ELSE        '$head<rdf:Description rdf:about="d' || doc_id || '"><g:tags rdf:parseType="Collection"><rdf:Description rdf:about="t/' || lang || '"/><rdf:Description rdf:about="t/' || source || '"/></g:tags></rdf:Description>$tail'
+    CASE
+      WHEN doc_id % $MalMod = $MalRem THEN '$head<rdf:Description rdf:about="d' || doc_id || '"><g:broken>unclosed$tail'
+      WHEN doc_id % 4 = 0 THEN '$head<g:Document rdf:about="d' || doc_id || '" g:source="' || source || '"><g:lang>' || lang || '</g:lang><g:chars rdf:datatype="$XsdInt">' || n_chars || '</g:chars><g:corpus rdf:resource="corpus/' || source || '"/></g:Document>$tail'
+      WHEN doc_id % 4 = 1 THEN '$head<g:Entry rdf:about="d' || doc_id || '"><g:title xml:lang="' || lang || '">Document ' || doc_id || '</g:title><g:src rdf:ID="st' || doc_id || '" rdf:resource="corpus/' || source || '"/></g:Entry>$tail'
+      WHEN doc_id % 4 = 2 THEN '$head<rdf:Description rdf:about="d' || doc_id || '"><g:meta rdf:parseType="Resource"><g:chars>' || n_chars || '</g:chars><g:source>' || source || '</g:source></g:meta></rdf:Description>$tail'
+      ELSE                     '$head<rdf:Description rdf:about="d' || doc_id || '"><g:tags rdf:parseType="Collection"><rdf:Description rdf:about="t/' || lang || '"/><rdf:Description rdf:about="t/' || source || '"/></g:tags></rdf:Description>$tail'
     END AS text
   FROM d
   UNION ALL
@@ -521,7 +525,10 @@ SELECT q, neighbor, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= $k"""
         "JOIN capped y ON x.band = y.band AND x.bkey = y.bkey AND x.mention < y.mention"),
     "kg_triples" -> s"$expectedTriplesCte SELECT conv_id, turn_idx, subj, pred, obj FROM expected",
     "kg_nt_roundtrip" -> s"$expectedTriplesCte SELECT subj, pred, obj FROM expected",
-    "kg_parse_errors" -> "SELECT CAST(0 AS BIGINT) AS n",
+    // Non-zero by construction (the seeded malformed docs): the hash gate
+    // pins the exact error count, not just "no errors on a clean corpus".
+    "kg_parse_errors" ->
+      s"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE doc_id % $MalMod = $MalRem",
     "kg_pred_counts" -> s"$expectedTriplesCte SELECT pred, COUNT(*) AS n FROM expected GROUP BY pred",
     "kg_turn_text" -> turnTextSql,
     "kg_mentions" -> s"$mentionCtes SELECT conv_id, turn_idx, mention FROM occ",

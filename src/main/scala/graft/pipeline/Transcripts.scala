@@ -32,6 +32,16 @@ object Transcripts {
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** Every 64th document (`doc_id % 64 == 63`) is deliberately MALFORMED —
+    * an unclosed property element, so the parser raises "Mismatched closing
+    * tag" — giving the error channel (R28) a deterministic non-zero count
+    * that the driver's oracle gate pins end-to-end (`kg_parse_errors` = the
+    * same modular rule in SQL), not just spec-level coverage on a clean
+    * corpus. The rule is congruent mod 4 to template v3, so only the v3
+    * branch of the expected-triples oracle needs the exclusion. */
+  val MalformedMod = 64
+  val MalformedRem = 63
+
   /** The four RDF/XML templates as Spark SQL `concat` column expressions.
     * Single-line documents: whitespace-text handling is covered by the
     * kernel suite; here byte-determinism is what matters.
@@ -67,7 +77,13 @@ object Transcripts {
       lit(""""/><rdf:Description rdf:about="t/"""), col("source"),
       lit(""""/></g:tags></rdf:Description>"""),
       lit(tail))
-    when(col("doc_id") % 4 === 0, v0)
+    val vErr = concat(
+      lit(head),
+      lit("""<rdf:Description rdf:about="d"""), col("doc_id"),
+      lit(""""><g:broken>unclosed"""),
+      lit(tail))
+    when(col("doc_id") % MalformedMod === MalformedRem, vErr)
+      .when(col("doc_id") % 4 === 0, v0)
       .when(col("doc_id") % 4 === 1, v1)
       .when(col("doc_id") % 4 === 2, v2)
       .otherwise(v3)

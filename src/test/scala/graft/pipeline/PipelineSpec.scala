@@ -70,8 +70,10 @@ class PipelineSpec extends SparkSuite {
     val out = Files.createTempDirectory("graft_kg").toString
     val stats = KgPipeline.run(spark, sfDir, out)
     assert(stats.turns == 1000)
-    assert(stats.triples > 2500) // parsed triples + sameAs triples
-    assert(stats.parseErrors == 0)
+    assert(stats.triples > 2400) // parsed triples + sameAs triples
+    // the corpus seeds doc_id % 64 == 63 as malformed (7 of 500 at sf0.001):
+    // the pipeline surfaces them on the error channel without failing
+    assert(stats.parseErrors == 7)
     assert(stats.mentions == 1000)
     assert(stats.entities > 0 && stats.entities < 70)
     assert(stats.reusedStages == 0)

@@ -21,9 +21,14 @@ class StreamingSpec extends SparkSuite {
     q.awaitTermination(120000)
 
     val streamed = spark.read.parquet(s"$out/data")
-    assert(streamed.filter(col("error").isNotNull).count() == 0)
+    // the corpus seeds doc_id % 64 == 63 as malformed: the error channel
+    // must surface exactly those through the stream, same as in batch
+    val expectedErrors = Transcripts.documents(spark, sfDir)
+      .filter(col("doc_id") % Transcripts.MalformedMod === Transcripts.MalformedRem).count()
+    assert(expectedErrors > 0)
+    assert(streamed.filter(col("error").isNotNull).count() == expectedErrors)
     val batch = graft.pipeline.ParseStage.parsedTranscripts(spark, sfDir)
-    assert(streamed.count() == batch.filter(col("error").isNull).count())
+    assert(streamed.filter(col("error").isNull).count() == batch.filter(col("error").isNull).count())
     // exactness: same multiset of (subj, pred, obj)
     val a = streamed.select("subj", "pred", "obj")
     val b = batch.select("subj", "pred", "obj")
