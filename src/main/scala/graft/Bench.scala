@@ -96,7 +96,18 @@ object Bench {
     // (old-gen garbage, fragmented regions) that measurably taxes the
     // GC-sensitive high-parallelism legs — full runs measured 0.47-0.63
     // scaling when the suite ran first vs 0.79-0.89 when it did not.
-    def runQuerySuite(): Seq[(String, Double)] = {
+    //
+    // Weather-proofing (r3 verdict #1): this VM's deliverable CPU swings
+    // ~2× across minutes-long hypervisor episodes, and single-shot per-query
+    // timings made cross-round comparisons meaningless (the same binary
+    // measured 3.4× apart 15 minutes apart). Each query is therefore timed
+    // TWICE with the MIN reported (a min is robust to one throttle spike but
+    // still honest — it cannot be lower than the code allows), and the suite
+    // is BRACKETED by a fixed calibration probe (a 256-turn parse, timed)
+    // whose start/end values go into the JSON: a degraded-VM run is
+    // self-evident as an inflated or start/end-divergent probe, without
+    // having to trust the per-query numbers to show it.
+    def runQuerySuite(): (Seq[(String, Double)], Seq[(String, Seq[Double])], Double, Double) = {
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
     val spark1 = session(cpus)
     // Warm the session on the ENGINE's own hot paths, not just generic Spark
@@ -129,21 +140,40 @@ object Bench {
         .select(graft.functions.GraftFunctions.dot_f64(col("embedding"), col("embedding")))
         .collect())
     }
+    // Fixed calibration probe: parse 256 transcript turns (the engine's own
+    // hot path — parquet scan + codegen + parse kernel), timed. Identical
+    // work at suite start and end; its absolute value and start/end drift
+    // expose machine weather in the JSON itself.
+    def calibrate(): Double =
+      try timed {
+        ParseStage.parseTurns(
+          Transcripts.transcripts(spark1, sfDir)
+            .select("conv_id", "turn_idx", "text").filter(col("turn_idx") % 2 === 0).limit(256)
+        ).count()
+      }._2
+      catch { case e: Exception => System.err.println(s"[bench] calibration skipped: ${e.getMessage}"); -1.0 }
+
+    val calibStart = if (skipQueries) -1.0 else calibrate()
     // SPARK_GRAFT_ONLY=q1,q2 runs a subset (targeted profiling).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = (if (skipQueries) Seq.empty else selected).map { case (name, fn) =>
-      val (_, secs) = timed {
-        try fn(spark1, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_QUERY_RUNS", "2").toInt
+    val runs = (if (skipQueries) Seq.empty else selected).map { case (name, fn) =>
+      val secs = (1 to nRuns).map { _ =>
+        timed {
+          try fn(spark1, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+        }._2
       }
       name -> secs
     }
+    val results = runs.map { case (name, secs) => name -> secs.min }
+    val calibEnd = if (skipQueries) -1.0 else calibrate()
     spark1.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-      results
+      (results, runs, calibStart, calibEnd)
     }
 
     // ---- Scaling evidence FIRST (clean JVM), N vs 4N threads, identical input.
@@ -157,9 +187,9 @@ object Bench {
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
 
     if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) {
-      val results = runQuerySuite()
+      val (results, runs, calibStart, calibEnd) = runQuerySuite()
       val qs0 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-      emit(f"""{"metric":"total","value":${results.map(_._2).sum}%.2f,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      emit(f"""{"metric":"total","value":${results.map(_._2).sum}%.2f,"unit":"sec","queries":$qs0,"sf":"$sfDir",${calibrationJson(runs, calibStart, calibEnd)}}""")
       return
     }
 
@@ -234,7 +264,7 @@ object Bench {
     val (_, secsMax) = if (cpus > 4 * n) measure(cpus, 3) else (triples, secsHigh)
 
     // Query suite last — see runQuerySuite's comment.
-    val results = runQuerySuite()
+    val (results, runs, calibStart, calibEnd) = runQuerySuite()
 
     val tpsLow = triples / secsLow
     val tpsHigh = triples / secsHigh
@@ -246,7 +276,19 @@ object Bench {
     val scaling =
       f"""{"cores_low":$n,"cores_high":${4 * n},"triples":$triples,"secs_low":$secsLow%.2f,"secs_high":$secsHigh%.2f,"tps_low":$tpsLow%.0f,"tps_high":$tpsHigh%.0f,"efficiency":$efficiency%.3f,"efficiency_median":$efficiency%.3f,"efficiency_trimmed_median":$effTrimmed%.3f,"efficiency_best":${pairEffs.max}%.3f,"efficiency_minratio":$effMinRatio%.3f,"pair_efficiencies":$pairsJson,"cores_max":$cpus,"tps_max":$tpsMax%.0f}"""
     emit(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","triples_per_sec":$tpsMax%.0f,"scaling":$scaling}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","triples_per_sec":$tpsMax%.0f,${calibrationJson(runs, calibStart, calibEnd)},"scaling":$scaling}""")
+  }
+
+  /** JSON fragment: per-query raw runs (min is what `queries` reports) plus
+    * the bracketing calibration probes — identical fixed work timed at suite
+    * start and end, so a degraded-VM window is visible in the output itself
+    * instead of masquerading as a per-query regression (r3 verdict #1). */
+  private def calibrationJson(runs: Seq[(String, Seq[Double])],
+                              calibStart: Double, calibEnd: Double): String = {
+    val raw = runs.map { case (k, ss) =>
+      "\"" + k + "\":" + ss.map(s => f"$s%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    f""""queries_runs":$raw,"calibration":{"probe_start_sec":$calibStart%.3f,"probe_end_sec":$calibEnd%.3f,"probe":"parse-256-turns"}"""
   }
 
   /** Print the one-line JSON (driver contract) AND mirror it to a plain file:
