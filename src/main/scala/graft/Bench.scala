@@ -158,22 +158,36 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_QUERY_RUNS", "2").toInt
+    // clamped to >= 1 (a 0/garbage value would crash AFTER the expensive
+    // scaling legs and break the one-JSON-line driver contract)
+    val nRuns = math.max(1,
+      sys.env.get("SPARK_GRAFT_QUERY_RUNS").flatMap(_.toIntOption).getOrElse(2))
     val runs = (if (skipQueries) Seq.empty else selected).map { case (name, fn) =>
-      val secs = (1 to nRuns).map { _ =>
-        timed {
-          try fn(spark1, sfDir).count()
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-        }._2
+      val attempts = (1 to nRuns).map { _ =>
+        val (ok, secs) = timed {
+          try { fn(spark1, sfDir).count(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        }
+        (ok, secs)
       }
-      name -> secs
+      name -> attempts
     }
-    val results = runs.map { case (name, secs) => name -> secs.min }
+    // min over SUCCESSFUL runs only — a fast failure must not masquerade as
+    // the query's time; a query with zero successes reports -1 (visibly
+    // wrong, matching the pre-existing failure convention).
+    val results = runs.map { case (name, attempts) =>
+      val ok = attempts.collect { case (true, s) => s }
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
+    }
     val calibEnd = if (skipQueries) -1.0 else calibrate()
     spark1.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-      (results, runs, calibStart, calibEnd)
+      // raw runs for the JSON: a failed attempt is reported as its NEGATED
+      // wall time, so the record keeps both the failure and its duration
+      (results,
+        runs.map { case (n, at) => n -> at.map { case (ok, s) => if (ok) s else -s } },
+        calibStart, calibEnd)
     }
 
     // ---- Scaling evidence FIRST (clean JVM), N vs 4N threads, identical input.

@@ -44,7 +44,7 @@ object SparkEntry {
     // with the expected-triples oracle proves sink serialization and source
     // tokenization are mutually exact, not just self-consistent.
     "kg_nt_roundtrip" -> ((s, dir) => {
-      val out = "/tmp/graft_nt_rt_" + Integer.toHexString(dir.hashCode)
+      val out = scratchDir("nt_rt_" + Integer.toHexString(dir.hashCode))
       Materialize.ntriples(ParseStage.parsedTranscripts(s, dir).toDF(), out)
       graft.sources.NTriples.read(s, out)
         .filter(col("error").isNull)
@@ -282,6 +282,21 @@ object SparkEntry {
     }),
   )
 
+  /** Per-JVM scratch root for sink→source round-trip queries: unique per
+    * process (two concurrent drivers — e.g. a Verify and a Bench on the same
+    * sfDir — must not overwrite each other's files mid-read) and removed on
+    * JVM exit, so repeated runs leak no /tmp space. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(del)); f.delete(); () }
+      del(p.toFile)
+    }))
+    p
+  }
+
+  private def scratchDir(name: String): String = scratchRoot.resolve(name).toString
+
   // ------------------------------------------------------------------ oracles
 
   /** Shared DuckDB CTE: the expected triples, reconstructed with plain SQL
@@ -289,12 +304,15 @@ object SparkEntry {
     * actually parsing the generated RDF/XML. */
   private def expectedTriplesCte: String = {
     s"""
-WITH d AS (
+WITH d0 AS (
   SELECT doc_id, lang, source, n_chars,
          'conv-' || (doc_id % $Convs) AS conv_id,
          CAST(2*(row_number() OVER (PARTITION BY doc_id % $Convs ORDER BY doc_id) - 1) AS INTEGER) AS turn_idx
   FROM documents
 ),
+-- the malformed docs (doc_id % $MalMod = $MalRem) yield an error row, not
+-- triples: excluded AFTER the turn_idx window (their turns still exist)
+d AS (SELECT * FROM d0 WHERE doc_id % $MalMod <> $MalRem),
 expected AS (
   -- v0: typed node + property attribute + text literal + typed literal + resource
   SELECT conv_id, turn_idx, '<${Base}d' || doc_id || '>' AS subj, '<${RdfNs}type>' AS pred, '<${Voc}Document>' AS obj FROM d WHERE doc_id % 4 = 0
@@ -314,14 +332,12 @@ expected AS (
   UNION ALL SELECT conv_id, turn_idx, '<${Base}d' || doc_id || '>', '<${Voc}meta>', '_:' || conv_id || '_' || turn_idx || '_b0' FROM d WHERE doc_id % 4 = 2
   UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${Voc}chars>', '"' || n_chars || '"' FROM d WHERE doc_id % 4 = 2
   UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${Voc}source>', '"' || source || '"' FROM d WHERE doc_id % 4 = 2
-  -- v3: parseType=Collection rdf:List chain (_:b0, _:b1). The malformed-doc
-  -- rule (doc_id % $MalMod = $MalRem, an error row not a triple source) is
-  -- congruent to 3 mod 4, so only these branches carry the exclusion.
-  UNION ALL SELECT conv_id, turn_idx, '<${Base}d' || doc_id || '>', '<${Voc}tags>', '_:' || conv_id || '_' || turn_idx || '_b0' FROM d WHERE doc_id % 4 = 3 AND doc_id % $MalMod <> $MalRem
-  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${RdfNs}first>', '<${Base}t/' || lang || '>' FROM d WHERE doc_id % 4 = 3 AND doc_id % $MalMod <> $MalRem
-  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${RdfNs}rest>', '_:' || conv_id || '_' || turn_idx || '_b1' FROM d WHERE doc_id % 4 = 3 AND doc_id % $MalMod <> $MalRem
-  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b1', '<${RdfNs}first>', '<${Base}t/' || source || '>' FROM d WHERE doc_id % 4 = 3 AND doc_id % $MalMod <> $MalRem
-  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b1', '<${RdfNs}rest>', '<${RdfNs}nil>' FROM d WHERE doc_id % 4 = 3 AND doc_id % $MalMod <> $MalRem
+  -- v3: parseType=Collection rdf:List chain (_:b0, _:b1)
+  UNION ALL SELECT conv_id, turn_idx, '<${Base}d' || doc_id || '>', '<${Voc}tags>', '_:' || conv_id || '_' || turn_idx || '_b0' FROM d WHERE doc_id % 4 = 3
+  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${RdfNs}first>', '<${Base}t/' || lang || '>' FROM d WHERE doc_id % 4 = 3
+  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${RdfNs}rest>', '_:' || conv_id || '_' || turn_idx || '_b1' FROM d WHERE doc_id % 4 = 3
+  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b1', '<${RdfNs}first>', '<${Base}t/' || source || '>' FROM d WHERE doc_id % 4 = 3
+  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b1', '<${RdfNs}rest>', '<${RdfNs}nil>' FROM d WHERE doc_id % 4 = 3
 )"""
   }
 

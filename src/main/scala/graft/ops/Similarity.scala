@@ -82,8 +82,14 @@ object Similarity {
     * for an empty table (callers emit zero buckets). */
   private[graft] def embeddingDim(embeddings: DataFrame, dim: Int): Int = {
     if (dim > 0) return dim
-    val meta = embeddings.schema.find(_.name == "embedding").map(_.metadata)
-    if (meta.exists(_.contains("dim"))) return meta.get.getLong("dim").toInt
+    // metadata is caller-supplied: a non-long or non-positive "dim" falls
+    // through to the probe instead of crashing (getLong throws on strings)
+    // or silently routing a populated table into the empty-result path
+    val fromMeta = embeddings.schema.find(_.name == "embedding").map(_.metadata)
+      .filter(_.contains("dim"))
+      .flatMap(m => scala.util.Try(m.getLong("dim").toInt).toOption)
+      .filter(_ > 0)
+    if (fromMeta.isDefined) return fromMeta.get
     val firstEmb = embeddings.select(col("embedding"))
       .filter(col("embedding").isNotNull).limit(1).collect()
     if (firstEmb.isEmpty) 0 else firstEmb.head.getSeq[Any](0).size

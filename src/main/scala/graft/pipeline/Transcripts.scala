@@ -32,14 +32,17 @@ object Transcripts {
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
-  /** Every 64th document (`doc_id % 64 == 63`) is deliberately MALFORMED —
+  /** Every 65th document (`doc_id % 65 == 63`) is deliberately MALFORMED —
     * an unclosed property element, so the parser raises "Mismatched closing
     * tag" — giving the error channel (R28) a deterministic non-zero count
     * that the driver's oracle gate pins end-to-end (`kg_parse_errors` = the
     * same modular rule in SQL), not just spec-level coverage on a clean
-    * corpus. The rule is congruent mod 4 to template v3, so only the v3
-    * branch of the expected-triples oracle needs the exclusion. */
-  val MalformedMod = 64
+    * corpus. The modulus is COPRIME to both the conversation fold (64) and
+    * the template cycle (4): errors land interleaved with clean turns across
+    * many different conversations and hit all four templates — a modulus of
+    * 64 would have concentrated every error in conv-63 and template v3,
+    * leaving mixed clean/error conversations untested. */
+  val MalformedMod = 65
   val MalformedRem = 63
 
   /** The four RDF/XML templates as Spark SQL `concat` column expressions.

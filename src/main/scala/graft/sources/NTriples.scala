@@ -143,9 +143,13 @@ object NTriples {
             else i += 1
           }
           if (!closed) return err("Unterminated literal")
-          // language tag / direction / datatype suffix: @en, @en--ltr, ^^<dt>
+          // language tag / direction / datatype suffix: @en, @en--ltr, ^^<dt>.
+          // Whitespace between terms is OPTIONAL in the W3C grammar: the tag
+          // also ends at a following term's opening '<'/'"' (tag chars are
+          // only [a-zA-Z0-9-]), not just at whitespace or the terminator.
           if (i < n && line.charAt(i) == '@') {
-            while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t' && !isTerminatorDot(i)) i += 1
+            while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t' &&
+              line.charAt(i) != '<' && line.charAt(i) != '"' && !isTerminatorDot(i)) i += 1
           } else if (i + 1 < n && line.charAt(i) == '^' && line.charAt(i + 1) == '^') {
             i += 2
             if (i >= n || line.charAt(i) != '<') return err("Malformed datatype suffix")
@@ -154,7 +158,10 @@ object NTriples {
             i = close + 1
           }
         case '_' =>
-          while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t' && !isTerminatorDot(i)) i += 1
+          // a blank-node label never contains '<' or '"' — stopping there
+          // accepts the grammar's optional inter-term whitespace
+          while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t' &&
+            line.charAt(i) != '<' && line.charAt(i) != '"' && !isTerminatorDot(i)) i += 1
         case _ =>
           return err("Unexpected term start")
       }
@@ -210,6 +217,9 @@ object NTriples {
       }
     }
 
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
   /** Reverse of the N-Triples string escaping (`graft.rdf.Lit.escape` plus
     * the full W3C ECHAR/UCHAR set: \\t \\b \\n \\r \\f \\" \\' \\\\ and
     * \\uXXXX / \\UXXXXXXXX numeric escapes). */
@@ -235,12 +245,17 @@ object NTriples {
           case '\\' => sb.append('\\'); i += 2
           case 'u' =>
             if (i + 6 > s.length) return Left("Truncated \\u escape in literal")
-            try sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
-            catch { case _: NumberFormatException => return Left("Malformed \\u escape in literal") }
+            val hex4 = s.substring(i + 2, i + 6)
+            // strict UCHAR: [0-9A-Fa-f] only (Integer.parseInt also accepts
+            // a sign, which would silently admit invalid escapes like \u-001)
+            if (!hex4.forall(isHexDigit)) return Left("Malformed \\u escape in literal")
+            sb.append(Integer.parseInt(hex4, 16).toChar)
             i += 6
           case 'U' =>
             if (i + 10 > s.length) return Left("Truncated \\U escape in literal")
-            try sb.appendCodePoint(Integer.parseInt(s.substring(i + 2, i + 10), 16))
+            val hex8 = s.substring(i + 2, i + 10)
+            if (!hex8.forall(isHexDigit)) return Left("Malformed \\U escape in literal")
+            try sb.appendCodePoint(Integer.parseInt(hex8, 16))
             catch { case _: NumberFormatException | _: IllegalArgumentException =>
               return Left("Malformed \\U escape in literal") }
             i += 10

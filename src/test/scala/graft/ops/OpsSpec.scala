@@ -124,6 +124,24 @@ class OpsSpec extends SparkSuite {
     assert(bad.getMessage.toLowerCase.contains("numeric array"))
   }
 
+  test("embeddingDim: explicit param > valid metadata > probe; bad metadata falls back, never crashes") {
+    import org.apache.spark.sql.types.MetadataBuilder
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    assert(graft.ops.Similarity.embeddingDim(e, 7) == 7) // explicit wins
+    val withMeta = e.withColumn("embedding",
+      col("embedding").as("embedding", new MetadataBuilder().putLong("dim", 64).build()))
+    assert(graft.ops.Similarity.embeddingDim(withMeta, 0) == 64)
+    // non-long / non-positive metadata must fall through to the probe (the
+    // real dim), not throw or route a populated table into the empty path
+    val strMeta = e.withColumn("embedding",
+      col("embedding").as("embedding", new MetadataBuilder().putString("dim", "64").build()))
+    assert(graft.ops.Similarity.embeddingDim(strMeta, 0) == 64)
+    val zeroMeta = e.withColumn("embedding",
+      col("embedding").as("embedding", new MetadataBuilder().putLong("dim", 0L).build()))
+    assert(graft.ops.Similarity.embeddingDim(zeroMeta, 0) == 64)
+    assert(graft.ops.Similarity.embeddingDim(e.filter(lit(false)), 0) == 0) // empty table
+  }
+
   test("LSH top-k recall vs brute force") {
     import spark.implicits._
     val brute = Similarity.bruteTopK(embeddings, 16, 5).as[(Long, Long, Int)].collect()

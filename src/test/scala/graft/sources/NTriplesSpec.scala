@@ -68,6 +68,26 @@ class NTriplesSpec extends SparkSuite {
     assert(unescape("\\x").isLeft)
     assert(unescape("trailing\\").isLeft)
     assert(unescape("\\u00ZZ").isLeft)
+    // strict UCHAR hex: Integer.parseInt's sign tolerance must not leak
+    // (\u-001 would otherwise emit U+FFFF as a "clean" literal)
+    assert(unescape("\\u-001").isLeft)
+    assert(unescape("\\u+041").isLeft)
+    assert(unescape("\\U-0000001").isLeft)
+  }
+
+  test("W3C grammar: whitespace between terms is optional (minimal_whitespace case)") {
+    import NTriples.parseLine
+    // modeled on rdf-tests ntriples/minimal_whitespace.nt
+    val r1 = parseLine("_:subject1<http://an.example/predicate1>\"object1\".", maxTerms = 3)
+    assert(r1.exists(_.error == null), r1.toString)
+    assert(r1.exists(r => r.subj == "_:subject1" && r.pred == "<http://an.example/predicate1>" &&
+      r.obj == "\"object1\""))
+    // language tag directly followed by the graph term (N-Quads)
+    val r2 = parseLine("<http://e/s><http://e/p>\"x\"@en<http://e/g>.", maxTerms = 4)
+    assert(r2.exists(r => r.error == null && r.obj == "\"x\"@en" && r.graph == "<http://e/g>"), r2.toString)
+    // blank node label directly followed by a quote-opening object
+    val r3 = parseLine("_:b<http://e/p>\"v\" .", maxTerms = 3)
+    assert(r3.exists(r => r.error == null && r.subj == "_:b"), r3.toString)
   }
 
   test("streaming read: two micro-batches equal the batch read; resume is exactly-once") {
