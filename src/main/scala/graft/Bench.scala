@@ -32,10 +32,11 @@ object Bench {
     * Returns true if the corpus was freshly written. */
   private def ensureAmplifiedCorpus(spark: SparkSession, sfDir: String, k: Int, dir: String): Boolean = {
     val marker = new java.io.File(dir, "_GRAFT_CORPUS")
-    // v2: transcripts now seed malformed docs (doc_id % 64 == 63) — the
-    // version tag forces a rewrite of any corpus cached from the old
-    // generator, keeping the triple count consistent with fresh runs.
-    val stamp = s"$sfDir|$k|v2"
+    // Version tag = generator content version: any change to the transcript
+    // templates MUST bump it so a cached corpus from the old generator is
+    // rewritten, keeping counts consistent with fresh runs. v2: malformed
+    // docs seeded at doc_id % 64; v3: malformed modulus 64 -> 65.
+    val stamp = s"$sfDir|$k|v3"
     // Reuse only when the stamp matches AND the corpus is actually intact
     // (Spark's _SUCCESS sentinel + at least one part file): a partially
     // deleted dir with a surviving marker must be rewritten, not reused.
