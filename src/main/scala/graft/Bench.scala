@@ -198,7 +198,11 @@ object Bench {
     // cluster each executor brings its own memory channels, so the
     // within-regime ratio is the honest analogue of N→4N executors.
     val n = math.max(2, cores / 8)
-    val ampl = sys.env.getOrElse("SPARK_GRAFT_AMPL", "1600").toInt
+    // 3200× (≈79M rows at sf0.1): the 16-core leg then runs ~7 s instead of
+    // ~3.3 s, halving the relative scheduler jitter that dominated the
+    // shorter leg — measured same-day medians 0.785 (1600×) vs 0.832
+    // (3200×) with an identical low-leg baseline (r4-c vs r4-d).
+    val ampl = sys.env.getOrElse("SPARK_GRAFT_AMPL", "3200").toInt
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
 
     if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) {
