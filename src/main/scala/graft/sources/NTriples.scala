@@ -29,30 +29,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object NTriples {
 
-  /** Row: term texts + decomposed object fields, or `error` for an
-    * unparseable line (terms null, obj_type "error" — the same convention as
-    * [[graft.pipeline.TripleRow]]). */
-  final case class NtRow(subj: String, pred: String, obj: String,
+  /** Row: file lineage + term texts + decomposed object fields, or `error`
+    * for an unparseable line (terms null, obj_type "error" — the same
+    * convention as [[graft.pipeline.TripleRow]]). `path` mirrors the rdfxml
+    * source's lineage column (which dump a row came from — at corpus scale
+    * the provenance column every downstream audit joins on). */
+  final case class NtRow(path: String, subj: String, pred: String, obj: String,
       obj_type: String, lexical: String, datatype: String, lang: String,
       graph: String, error: String)
 
-  /** Read an N-Triples dump: columns (subj, pred, obj, obj_type, lexical,
-    * datatype, lang, error). */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    spark.read.textFile(path)
-      .mapPartitions(_.flatMap(parseLine(_, maxTerms = 3)))
-      .toDF()
-      .drop("graph")
-  }
+  /** Read an N-Triples dump: columns (path, subj, pred, obj, obj_type,
+    * lexical, datatype, lang, error). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    lines(spark.read.text(path), maxTerms = 3).drop("graph")
 
-  /** Read an N-Quads dump: columns (subj, pred, obj, obj_type, lexical,
-    * datatype, lang, graph, error); `graph` is null for default-graph lines
-    * (3 terms). */
-  def readQuads(spark: SparkSession, path: String): DataFrame = {
+  /** Read an N-Quads dump: columns (path, subj, pred, obj, obj_type,
+    * lexical, datatype, lang, graph, error); `graph` is null for
+    * default-graph lines (3 terms). */
+  def readQuads(spark: SparkSession, path: String): DataFrame =
+    lines(spark.read.text(path), maxTerms = 4)
+
+  private def lines(text: DataFrame, maxTerms: Int): DataFrame = {
+    val spark = text.sparkSession
     import spark.implicits._
-    spark.read.textFile(path)
-      .mapPartitions(_.flatMap(parseLine(_, maxTerms = 4)))
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    text.select(col("value"), input_file_name().as("p")).as[(String, String)]
+      .mapPartitions(_.flatMap { case (line, p) => parseLine(line, maxTerms, p) })
       .toDF()
   }
 
@@ -70,12 +72,9 @@ object NTriples {
 
   private def streamLines(spark: SparkSession, path: String,
                           maxFilesPerTrigger: Int, maxTerms: Int): DataFrame = {
-    import spark.implicits._
     val reader = spark.readStream
     if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
-    reader.textFile(path)
-      .mapPartitions(_.flatMap(parseLine(_, maxTerms)))
-      .toDF()
+    lines(reader.text(path), maxTerms)
   }
 
   /** Tokenize one line into its term texts. None = nothing to emit (blank or
@@ -83,12 +82,12 @@ object NTriples {
     * IRI brackets, and nested RDF 1.2 triple terms (`<<( … )>>` — the
     * canonical rendering `graft.rdf.TripleTerm.ntriples` produces, which
     * contains spaces). */
-  private[sources] def parseLine(line: String, maxTerms: Int): Option[NtRow] = {
+  private[sources] def parseLine(line: String, maxTerms: Int, path: String = null): Option[NtRow] = {
     var i = 0
     val n = line.length
     def skipWs(): Unit = { while (i < n && (line.charAt(i) == ' ' || line.charAt(i) == '\t')) i += 1 }
     def err(msg: String): Option[NtRow] =
-      Some(NtRow(null, null, null, "error", null, null, null, null, s"$msg: ${line.take(160)}"))
+      Some(NtRow(path, null, null, null, "error", null, null, null, null, s"$msg: ${line.take(160)}"))
     // Is the '.' at `pos` the statement terminator (followed only by
     // whitespace and/or a '#' comment)? Needed because blank-node labels and
     // language tags may be followed DIRECTLY by the terminating dot in the
@@ -178,7 +177,7 @@ object NTriples {
       case Right(d) => d
       case Left(msg) => return err(msg)
     }
-    Some(NtRow(terms(0), terms(1), terms(2), oty, lex, dt, lang,
+    Some(NtRow(path, terms(0), terms(1), terms(2), oty, lex, dt, lang,
       if (terms.length == 4) terms(3) else null, null))
   }
 

@@ -152,9 +152,28 @@ object RdfXmlScan {
 }
 
 final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType,
-                       pathFilters: Array[Filter] = Array.empty) extends Scan with Batch {
+                       pathFilters: Array[Filter] = Array.empty)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Report input size to Catalyst — without this a DSv2 relation defaults
+    * to `spark.sql.defaultSizeInBytes` (effectively infinite), so a 2 MB
+    * directory of RDF/XML joined against a fact table would ALWAYS sort-
+    * merge-join; with file-size stats the planner auto-broadcasts small
+    * sides like it does for parquet. Size = listed bytes (path filters
+    * applied — pruning shrinks the estimate too); row count unknown (parsing
+    * would defeat the purpose). Cached: planning may ask repeatedly. */
+  private lazy val listedBytes: Long =
+    try RdfXmlScan.listDataFiles(inputDir, hadoopConf.value, pathFilters).map(_.getLen).sum
+    catch { case _: java.io.IOException => -1L }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (listedBytes < 0) java.util.OptionalLong.empty() else java.util.OptionalLong.of(listedBytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
   override def description(): String =
     s"RdfXmlScan(${options.get("path")}, pushedPathFilters=[${pathFilters.mkString(", ")}])"
 
