@@ -153,9 +153,32 @@ object RdfXmlScan {
 
 final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType,
                        pathFilters: Array[Filter] = Array.empty)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Runtime filtering on `path` — the dynamic-partition-pruning analogue
+    * for a file-per-document source: when this scan sits on the probe side
+    * of a join whose build side constrains `path` (e.g. joining a 100 TB
+    * corpus against a small audit table of document URIs), Spark hands the
+    * build-side values here AFTER they are known and re-plans, so only the
+    * matching FILES are listed into partitions — plan-time `pushFilters`
+    * can never see these values. Same conservative contract as the static
+    * path filters: pruning only ever drops whole files whose `path` cannot
+    * match; Spark still re-evaluates the join condition per row. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  /** Only advertised when `path` survived column pruning: Spark's
+    * PartitionPruning rule resolves these refs against the scan OUTPUT and
+    * fails analysis on a pruned-away column (a query selecting only
+    * subj/obj would die for a column it never asked for). */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (required.fieldNames.contains("path"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("path"))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters.filter(RdfXmlScan.isPathFilter)
 
   /** Report input size to Catalyst — without this a DSv2 relation defaults
     * to `spark.sql.defaultSizeInBytes` (effectively infinite), so a 2 MB
@@ -191,9 +214,11 @@ final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType,
 
   private def targetBytes: Long = options.getLong("targetPartitionBytes", 32L * 1024 * 1024)
 
-  /** Bin-pack the listed files by size (documents are unsplittable). */
+  /** Bin-pack the listed files by size (documents are unsplittable);
+    * static (pushed) and runtime (join-derived) path filters both prune the
+    * listing. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = RdfXmlScan.listDataFiles(inputDir, hadoopConf.value, pathFilters)
+    val files = RdfXmlScan.listDataFiles(inputDir, hadoopConf.value, pathFilters ++ runtimeFilters)
     RdfXmlScan.binPack(files.map(f => (f.getPath.toString, f.getLen)), targetBytes)
   }
 

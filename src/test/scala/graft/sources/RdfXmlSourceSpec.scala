@@ -45,6 +45,39 @@ class RdfXmlSourceSpec extends SparkSuite {
     assert(bn.length == 1 && bn.head.getAs[String]("subj").matches("_:[0-9a-f]{32}_b0"))
   }
 
+  test("rdfxml scan: runtime path filters prune FILES (DPP analogue), stats report listed bytes") {
+    val dir = writeCorpus()
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val opts = new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+    val scan = new RdfXmlScan(opts, RdfXmlTable.Schema)
+    // stats: sum of the four files' sizes (auto-broadcast depends on this)
+    val stats = scan.estimateStatistics()
+    val expectedBytes = new java.io.File(dir).listFiles().map(_.length()).sum
+    assert(stats.sizeInBytes.getAsLong == expectedBytes)
+    assert(!stats.numRows.isPresent)
+    // runtime filtering contract: filter() after planning re-plans to only
+    // the matching files — the join-derived file-pruning path
+    assert(scan.planInputPartitions().map(_.asInstanceOf[RdfXmlInputPartition].files.length).sum == 4)
+    val aPath = "file:" + dir + "/a.rdf"
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("path", Array(aPath))))
+    val pruned = scan.planInputPartitions().flatMap(_.asInstanceOf[RdfXmlInputPartition].files)
+    assert(pruned.toSeq == Seq(aPath), pruned.mkString(","))
+    // non-path runtime filters are ignored (conservative contract)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("subj", "x")))
+    assert(scan.planInputPartitions().map(_.asInstanceOf[RdfXmlInputPartition].files.length).sum == 4)
+  }
+
+  test("rdfxml scan joined against a path list still returns exact results (runtime filter is semantics-free)") {
+    val dir = writeCorpus()
+    val df = spark.read.format("rdfxml").load(dir)
+    import spark.implicits._
+    val want = Seq("file:" + dir + "/a.rdf").toDF("path")
+    val joined = df.join(broadcast(want), "path").select("subj", "pred", "obj").collect()
+    assert(joined.length == 2) // exactly a.rdf's triples
+  }
+
   test("rdfxml source skips hidden directories at every level (_temporary staging is invisible)") {
     val dir = Files.createTempDirectory("graft_rdfxml_hidden")
     def doc(about: String) =
