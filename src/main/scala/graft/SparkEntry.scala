@@ -169,6 +169,17 @@ object SparkEntry {
       graft.ops.Pii.scrub(docs, pii)
     }),
 
+    // Decontamination: the deterministic "benchmark" slice (doc_id % 100
+    // == 1) plays the eval set; the rest of the corpus is checked for
+    // 4-token-gram overlap with it. Broadcast semi-join — see
+    // Dedup.contaminationCounts for the 100 TB shape.
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup.contaminationCounts(
+        docs.filter(col("doc_id") % 100 =!= 1),
+        docs.filter(col("doc_id") % 100 === 1))
+    }),
+
     "sample_per_lang" -> ((s, dir) =>
       graft.ops.Sampling.deterministicTopKPerStratum(
         s.read.parquet(s"$dir/documents.parquet"), "lang", 5)),
@@ -639,6 +650,18 @@ shared AS (SELECT u FROM (SELECT DISTINCT doc_id, u FROM sa) t
 SELECT sa.doc_id, sa.pos,
        CAST(CASE WHEN sa.u >= 9223372036854775808 THEN sa.u::HUGEINT - 18446744073709551616 ELSE sa.u::HUGEINT END AS BIGINT) AS h
 FROM sa JOIN shared USING (u)""",
+
+    // Decontamination: 4-token-gram FNV hashes (bit-exact fnv1aSql mirror),
+    // eval slice = doc_id % 100 = 1, DF cap applied to eval-MATCHING grams
+    // only (mirrors the post-semi-join cap in Dedup.contaminationCounts).
+    "text_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, unnest([array_to_string(w[i:i+3], ' ') for i in generate_series(1, greatest(len(w)-3, 0))]) AS gram FROM w),
+gh AS (SELECT doc_id, ${fnv1aSql("gram")}::UBIGINT AS u FROM g),
+e AS (SELECT DISTINCT u FROM gh WHERE doc_id % 100 = 1),
+m AS (SELECT DISTINCT gh.doc_id, gh.u FROM gh JOIN e USING (u) WHERE gh.doc_id % 100 <> 1),
+kp AS (SELECT u FROM m GROUP BY u HAVING COUNT(*) <= ${graft.pipeline.Linking.DefaultMaxShingleDf})
+SELECT m.doc_id, COUNT(*) AS n_shared_grams FROM m JOIN kp USING (u) GROUP BY 1""",
 
     // MinHash-LSH dedup clusters: word-5-gram shingles → bit-exact signature
     // chain → md5 band keys → per-bucket STAR edges (same components as the

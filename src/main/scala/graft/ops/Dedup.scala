@@ -158,6 +158,40 @@ object Dedup {
       .select(col("doc_id"), col("pos"), col("h"))
   }
 
+  /** Decontamination — the eval-set overlap check a training-data pipeline
+    * runs before shipping a corpus ("did benchmark text leak into the
+    * training set?"): corpus documents sharing k-token grams with a small
+    * eval/benchmark table. Returns (doc_id, n_shared_grams) for every
+    * corpus document with at least one shared gram.
+    *
+    * Scale shape: the EVAL side is tiny by definition (benchmarks are
+    * thousands of documents; the corpus is billions) — its distinct
+    * gram-hash set is explicitly `broadcast()`, so the pass is a map-side
+    * hash semi-join over the corpus scan plus one per-doc count aggregate;
+    * the corpus side never shuffles its gram index. Grams are UNSAMPLED
+    * (unlike [[substringDupPairs]]' winnowing mask): decontamination is
+    * recall-critical — a 1-in-2^b anchor sample would miss most short
+    * leaks. Boilerplate is handled AFTER the semi-join: grams matching the
+    * eval set but present in more than `maxGramDf` corpus documents are
+    * dropped (a ubiquitous phrase is not evidence of leakage), and because
+    * the DF count runs on the matched subset only, the cap costs a shuffle
+    * of eval-matching rows — not of the whole corpus gram index. */
+  def contaminationCounts(corpus: DataFrame, evalDocs: DataFrame, k: Int = 4,
+                          maxGramDf: Long = Linking.DefaultMaxShingleDf): DataFrame = {
+    def grams(docs: DataFrame) =
+      docs.filter(length(col("text")) - length(translate(col("text"), " ", "")) >= k - 1)
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.word_gram_hashes(col("text"), k)).as("h"))
+    val evalGrams = grams(evalDocs.select(col("doc_id"), col("text"))).select("h").distinct()
+    val matched = grams(corpus.select(col("doc_id"), col("text")))
+      .join(broadcast(evalGrams), Seq("h"))
+      .select("doc_id", "h").distinct()
+    val hot = matched.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxGramDf).select("h")
+    matched.join(hot, Seq("h"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** 64-bit SimHash over whitespace tokens — the native `simhash64`
     * expression (graft.functions.SimHash64), so the signature is a narrow
     * codegen projection with no typed-object barrier. Near-dup when hamming

@@ -124,6 +124,26 @@ class OpsSpec extends SparkSuite {
     assert(bad.getMessage.toLowerCase.contains("numeric array"))
   }
 
+  test("contaminationCounts: eval-gram overlap flags exactly the leaking docs; boilerplate cap applies") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text with no overlap here at all"),
+      (3L, "quick brown fox jumps again and again"),
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "a quick brown fox jumps somewhere")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.contaminationCounts(corpus, evalSet, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "quick brown fox jumps" is the one shared 4-gram, present in docs 1, 3
+    assert(got == Map(1L -> 1L, 3L -> 1L), got.toString)
+    // DF cap on eval-MATCHING grams: with maxGramDf=1 the gram (matched by
+    // two corpus docs) counts as boilerplate and nothing is flagged
+    assert(graft.ops.Dedup.contaminationCounts(corpus, evalSet, k = 4, maxGramDf = 1).count() == 0)
+    // a doc shorter than k tokens can never be flagged (and never crashes)
+    val short = Seq((9L, "too short")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.contaminationCounts(short, evalSet, k = 4).count() == 0)
+  }
+
   test("embeddingDim: explicit param > valid metadata > probe; bad metadata falls back, never crashes") {
     import org.apache.spark.sql.types.MetadataBuilder
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
