@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.pipeline.{ConnectedComponents, Linking}
 
@@ -16,6 +16,26 @@ object Dedup {
   def exactClusters(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
+
+  /** EXACT cheap pre-filter on the raw text for "at least `n` whitespace
+    * tokens" (token count = space count + 1 — `split` keeps empty tokens).
+    * ONE definition on purpose: the DuckDB oracles mirror this predicate
+    * verbatim, and it must run on the RAW column — a filter on a derived
+    * gram/shingle column would get predicate-pushed through the projection
+    * and duplicate the defining expression into the filter. */
+  def hasMinTokens(textCol: Column, n: Int): Column =
+    length(textCol) - length(translate(textCol, " ", "")) >= n - 1
+
+  /** (doc_id, pos, h): FNV-1a hash of the k-token gram at each 0-based
+    * token offset — the native `word_gram_hashes` expression, one codegen
+    * loop per document, no gram strings materialized; sub-k-token docs
+    * dropped up front by [[hasMinTokens]]. The shared narrow base of the
+    * sampled anchor index ([[substringAnchorRows]]) and the unsampled
+    * decontamination gram index ([[contaminationCounts]]). */
+  def wordGramRows(docs: DataFrame, k: Int): DataFrame =
+    docs.filter(hasMinTokens(col("text"), k))
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.word_gram_hashes(col("text"), k)).as(Seq("pos", "h")))
 
   /** Exploded (id, shingle) word-n-gram rows with the token array
     * materialized ONCE per document: higher-order functions are interpreted
@@ -40,7 +60,7 @@ object Dedup {
     * stays as the authoritative semantic (it is what the DuckDB oracles
     * mirror; DedupSpec pins equality). */
   def wordShingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame =
-    docs.filter(length(col(textCol)) - length(translate(col(textCol), " ", "")) >= n - 1)
+    docs.filter(hasMinTokens(col(textCol), n))
       .select(col(idCol), graft.functions.GraftFunctions.word_shingles(col(textCol), n).as("shingles"))
 
   /** The defining Catalyst formulation of [[wordShingleArrays]]'s shingle
@@ -111,10 +131,7 @@ object Dedup {
     * no gram strings materialized — so the anchor index is a narrow
     * map-side projection of ~tokens/2^bits rows per document. */
   def substringAnchorRows(docs: DataFrame, k: Int, mask: Long): DataFrame =
-    docs.filter(length(col("text")) - length(translate(col("text"), " ", "")) >= k - 1)
-      .select(col("doc_id"),
-        posexplode(graft.functions.GraftFunctions.word_gram_hashes(col("text"), k)).as(Seq("pos", "h")))
-      .filter(col("h").bitwiseAND(lit(mask)) === 0)
+    wordGramRows(docs, k).filter(col("h").bitwiseAND(lit(mask)) === 0)
 
   /** Exact substring-duplication candidates (the "Deduplicating Training
     * Data" primitive): documents sharing >= `minShared` sampled k-token-gram
@@ -178,10 +195,7 @@ object Dedup {
     * of eval-matching rows — not of the whole corpus gram index. */
   def contaminationCounts(corpus: DataFrame, evalDocs: DataFrame, k: Int = 4,
                           maxGramDf: Long = Linking.DefaultMaxShingleDf): DataFrame = {
-    def grams(docs: DataFrame) =
-      docs.filter(length(col("text")) - length(translate(col("text"), " ", "")) >= k - 1)
-        .select(col("doc_id"),
-          explode(graft.functions.GraftFunctions.word_gram_hashes(col("text"), k)).as("h"))
+    def grams(docs: DataFrame) = wordGramRows(docs, k).select("doc_id", "h")
     val evalGrams = grams(evalDocs.select(col("doc_id"), col("text"))).select("h").distinct()
     val matched = grams(corpus.select(col("doc_id"), col("text")))
       .join(broadcast(evalGrams), Seq("h"))

@@ -180,6 +180,16 @@ final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType,
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters.filter(RdfXmlScan.isPathFilter)
 
+  /** One listing per scan: statistics estimation, partition planning, and
+    * runtime-filter re-planning all share this cached sweep — on an object
+    * store a ~1M-file directory is O(files) remote RPCs, so listing once and
+    * filtering the cached statuses IN MEMORY (runtime `path` values arrive
+    * post-listing anyway) matters as much as the pruning itself. A lazy val
+    * that throws is not cached, so a transient listing failure during
+    * `estimateStatistics` (swallowed there) retries at plan time. */
+  private lazy val listedFiles: Seq[FileStatus] =
+    RdfXmlScan.listDataFiles(inputDir, hadoopConf.value, pathFilters)
+
   /** Report input size to Catalyst — without this a DSv2 relation defaults
     * to `spark.sql.defaultSizeInBytes` (effectively infinite), so a 2 MB
     * directory of RDF/XML joined against a fact table would ALWAYS sort-
@@ -188,7 +198,7 @@ final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType,
     * applied — pruning shrinks the estimate too); row count unknown (parsing
     * would defeat the purpose). Cached: planning may ask repeatedly. */
   private lazy val listedBytes: Long =
-    try RdfXmlScan.listDataFiles(inputDir, hadoopConf.value, pathFilters).map(_.getLen).sum
+    try listedFiles.map(_.getLen).sum
     catch { case _: java.io.IOException => -1L }
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
@@ -215,10 +225,13 @@ final class RdfXmlScan(options: CaseInsensitiveStringMap, required: StructType,
   private def targetBytes: Long = options.getLong("targetPartitionBytes", 32L * 1024 * 1024)
 
   /** Bin-pack the listed files by size (documents are unsplittable);
-    * static (pushed) and runtime (join-derived) path filters both prune the
-    * listing. */
+    * static (pushed) filters pruned [[listedFiles]] during the single
+    * listing sweep, runtime (join-derived) filters prune the cached
+    * statuses here without touching the filesystem again. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = RdfXmlScan.listDataFiles(inputDir, hadoopConf.value, pathFilters ++ runtimeFilters)
+    val files =
+      if (runtimeFilters.isEmpty) listedFiles
+      else listedFiles.filter(f => RdfXmlScan.pathMatches(f.getPath.toString, runtimeFilters))
     RdfXmlScan.binPack(files.map(f => (f.getPath.toString, f.getLen)), targetBytes)
   }
 

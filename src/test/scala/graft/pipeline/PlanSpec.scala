@@ -151,9 +151,18 @@ class PlanSpec extends SparkSuite {
     }
     val small = spark.read.format("rdfxml").load(dir).select("subj", "obj")
     val big = spark.range(100000).selectExpr("concat('<http://example.org/d', id, '>') as subj", "id")
-    val p = plan(big.join(small, "subj")) // NO explicit broadcast() hint
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    // Threshold BELOW big's own size estimate (~MBs for 100k string rows):
+    // if the rdfxml relation regressed to defaultSizeInBytes (infinite),
+    // NEITHER side is broadcastable and the join sort-merges — without this
+    // pin the test passed vacuously because big itself was under the 10 MB
+    // default and the planner broadcast the wrong (probe) side.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+    try {
+      val p = plan(big.join(small, "subj")) // NO explicit broadcast() hint
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("BuildRight"), p) // the rdfxml (right) side is the one broadcast
+      assert(!p.contains("SortMergeJoin"), p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("sim LSH queries plan with ZERO driver-side probe jobs when dim is explicit") {
