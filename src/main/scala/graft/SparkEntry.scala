@@ -156,6 +156,11 @@ object SparkEntry {
       graft.ops.TextAnalysis.rollingFingerprints(s.read.parquet(s"$dir/documents.parquet"))),
     "text_repetition" -> ((s, dir) =>
       graft.ops.TextAnalysis.repetitionStats(s.read.parquet(s"$dir/documents.parquet"))),
+    // keep cast to int on both engines: driver hash parity over booleans is
+    // unproven territory; 0/1 is not.
+    "text_filter" -> ((s, dir) =>
+      graft.ops.TextAnalysis.corpusFilter(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("keep").cast("int").as("keep"), col("reason"))),
     "text_pii" -> ((s, dir) => {
       // The op under test is the scrubber; this corpus is digit-free, so the
       // query splices deterministic doc_id-derived PII into each row — the
@@ -782,6 +787,27 @@ SELECT b.doc_id,
   CAST(len(list_distinct(list_transform(generate_series(1, len(b.ws) - 1), i -> b.ws[i] || ' ' || b.ws[i + 1]))) AS INTEGER) AS distinct_bigrams,
   c.top_word_count
 FROM base b JOIN cnt c USING (doc_id)""",
+
+    // Gopher-default rule gate; the rule cascade is mirrored verbatim and
+    // mean word length compares as word_chars <> bound*n_tokens (integer) so
+    // no float reaches the hash. top word frequency reuses the
+    // text_repetition unnest+GROUP BY shape.
+    "text_filter" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws, len(replace(text, ' ', '')) AS wc FROM documents),
+top AS (SELECT doc_id, max(c) AS top FROM (
+  SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(ws) AS w FROM base) GROUP BY doc_id, w) GROUP BY doc_id),
+s AS (SELECT b.doc_id, len(b.ws) AS ntok, b.wc,
+  len(list_filter(b.ws, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS nstop, t.top
+  FROM base b JOIN top t USING (doc_id)),
+r AS (SELECT doc_id,
+  CASE WHEN ntok < 50 THEN 'too_few_words'
+       WHEN ntok > 100000 THEN 'too_many_words'
+       WHEN wc < 3 * ntok THEN 'mean_word_len_low'
+       WHEN wc > 10 * ntok THEN 'mean_word_len_high'
+       WHEN nstop < 2 THEN 'too_few_stopwords'
+       WHEN top * 100 > 20 * ntok THEN 'repetitive'
+  END AS reason FROM s)
+SELECT doc_id, CAST(reason IS NULL AS INTEGER) AS keep, reason FROM r""",
 
     // Same deterministic PII splice as the Spark side; patterns are spliced
     // from graft.ops.Pii so both engines run the identical rule text

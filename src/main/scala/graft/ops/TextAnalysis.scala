@@ -63,14 +63,26 @@ object TextAnalysis {
       md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
     )
 
+  /** Max per-word frequency as the longest equal-adjacent run of the SORTED
+    * token array — the exactness of an explode + groupBy count without its
+    * (doc_id, word) exchange; shared by [[repetitionStats]] and
+    * [[corpusFilter]]'s repetition rule. */
+  private val TopWordCountExpr =
+    """aggregate(
+         array_sort(split(text, ' ')),
+         named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+         (acc, w) -> named_struct(
+           'prev', w,
+           'run',  CASE WHEN acc.prev IS NOT NULL AND w = acc.prev THEN acc.run + 1 ELSE 1 END,
+           'best', greatest(acc.best,
+                     CASE WHEN acc.prev IS NOT NULL AND w = acc.prev THEN acc.run + 1 ELSE 1 END)),
+         acc -> acc.best)"""
+
   /** Gopher-style repetition metrics: repeated-bigram mass and the count of
     * the most frequent word. Shapes chosen for 100 TB: everything is a
     * per-row narrow projection (array HOFs over the token list — work
-    * bounded by document length, no shuffle), including `top_word_count`,
-    * which is computed as the longest equal-adjacent run of the SORTED
-    * token array (== the max per-word frequency) rather than an
-    * explode + groupBy — the exactness of a global aggregate without its
-    * (doc_id, word) exchange. */
+    * bounded by document length, no shuffle), including `top_word_count`
+    * (see [[TopWordCountExpr]]). */
   def repetitionStats(docs: DataFrame): DataFrame =
     // Written with slice/zip_with (array-level ops) rather than per-index
     // element_at(split(...), i): a split inside a HOF lambda re-tokenizes
@@ -84,17 +96,39 @@ object TextAnalysis {
                 slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
                 (a, b) -> concat(a, ' ', b))))""")
         .as("distinct_bigrams"),
-      expr("""aggregate(
-                array_sort(split(text, ' ')),
-                named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
-                (acc, w) -> named_struct(
-                  'prev', w,
-                  'run',  CASE WHEN acc.prev IS NOT NULL AND w = acc.prev THEN acc.run + 1 ELSE 1 END,
-                  'best', greatest(acc.best,
-                            CASE WHEN acc.prev IS NOT NULL AND w = acc.prev THEN acc.run + 1 ELSE 1 END)),
-                acc -> acc.best)""")
-        .as("top_word_count"),
+      expr(TopWordCountExpr).as("top_word_count"),
     )
+
+  /** Rule-based corpus filter (the C4/Gopher-style keep/drop gate a
+    * training-data pipeline runs before anything expensive): per document,
+    * `keep` plus the FIRST failing rule as `reason` (null when kept) — the
+    * reason taxonomy is what makes removal rates auditable per rule.
+    * Defaults are the published Gopher bounds: 50–100k words, mean word
+    * length in [3, 10], ≥ 2 stopwords, most-frequent word ≤ 20% of tokens.
+    *
+    * Scale shape: a map-only narrow projection — every rule is integer
+    * arithmetic on the token array of the row itself (mean word length is
+    * compared as `word_chars ≷ bound × n_tokens`, so no floating point
+    * reaches the driver-hashed output), and the repetition rule reuses
+    * [[TopWordCountExpr]]'s sorted-run fold instead of an explode +
+    * groupBy — the whole filter runs in the scan's projection with no
+    * shuffle, which is the only acceptable cost for a gate that touches
+    * all 100 TB by definition. */
+  def corpusFilter(docs: DataFrame,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanWordLen: Int = 3, maxMeanWordLen: Int = 10,
+                   minStopwords: Int = 2, maxTopWordPct: Int = 20): DataFrame = {
+    val ntok = size(split(col("text"), " "))
+    val wchars = length(translate(col("text"), " ", ""))
+    val nstop = expr("size(filter(split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and'))")
+    val reason = when(ntok < minWords, "too_few_words")
+      .when(ntok > maxWords, "too_many_words")
+      .when(wchars < ntok * minMeanWordLen, "mean_word_len_low")
+      .when(wchars > ntok * maxMeanWordLen, "mean_word_len_high")
+      .when(nstop < minStopwords, "too_few_stopwords")
+      .when(expr(TopWordCountExpr) * 100 > ntok * maxTopWordPct, "repetitive")
+    docs.select(col("doc_id"), reason.isNull.as("keep"), reason.as("reason"))
+  }
 
   /** Rolling-hash fingerprint: 64-bit FNV-1a over the chars of the
     * normalized text, via the native codegen `fnv1a64` expression — one

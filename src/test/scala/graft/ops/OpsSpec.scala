@@ -144,6 +144,42 @@ class OpsSpec extends SparkSuite {
     assert(graft.ops.Dedup.contaminationCounts(short, evalSet, k = 4).count() == 0)
   }
 
+  test("corpusFilter: every rule reachable, first-failing-rule order, Gopher defaults keep real prose") {
+    import spark.implicits._
+    val stop = "the a of and " // 4 stopwords
+    val prose = stop + (1 to 60).map(i => s"word$i").mkString(" ") // 64 tokens, mean len ~5
+    val docs = Seq(
+      (1L, prose),                                        // kept
+      (2L, "too short"),                                  // too_few_words
+      (3L, stop + (1 to 60).map(i => s"a$i").mkString(" ")), // borderline-short tokens (unasserted)
+      (4L, stop + (1 to 60).map(_ => "x y").mkString(" ")), // short tokens -> mean_word_len_low
+      (5L, stop + (1 to 60).map(i => "w" * 20 + i).mkString(" ")), // mean_word_len_high
+      (6L, (1 to 60).map(i => s"word$i").mkString(" ")),  // no stopwords -> too_few_stopwords
+      (7L, stop + (1 to 60).map(_ => "spam").mkString(" ")), // top word 60/64 -> repetitive
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.corpusFilter(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.getString(2)).orNull)).toMap
+    assert(got(1L) == (true, null), got(1L).toString)
+    assert(got(2L) == (false, "too_few_words"))
+    assert(got(4L) == (false, "mean_word_len_low"))
+    assert(got(5L) == (false, "mean_word_len_high"))
+    assert(got(6L) == (false, "too_few_stopwords"))
+    assert(got(7L) == (false, "repetitive"))
+    // rule ORDER: a doc failing both word-count and stopword rules reports
+    // the earlier rule
+    val both = Seq((8L, "zz yy xx")).toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.corpusFilter(both).collect()(0).getString(2) == "too_few_words")
+    // too_many_words reachable with a tightened bound
+    val many = graft.ops.TextAnalysis.corpusFilter(docs.filter($"doc_id" === 1L), maxWords = 10)
+    assert(many.collect()(0).getString(2) == "too_many_words")
+    // the real corpus splits non-trivially under pure defaults: both kept
+    // and dropped documents exist
+    val real = graft.ops.TextAnalysis.corpusFilter(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val keeps = real.groupBy("keep").count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(keeps.getOrElse(true, 0L) > 0 && keeps.getOrElse(false, 0L) > 0, keeps.toString)
+  }
+
   test("embeddingDim: explicit param > valid metadata > probe; bad metadata falls back, never crashes") {
     import org.apache.spark.sql.types.MetadataBuilder
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")

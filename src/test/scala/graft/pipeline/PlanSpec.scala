@@ -208,4 +208,31 @@ class PlanSpec extends SparkSuite {
         s"$name: $p")
     }
   }
+
+  test("text_filter (rule gate) is map-only: every rule runs in the scan's projection") {
+    val p = plan(q("text_filter"))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema") && !p.contains("lang") && !p.contains("source"), p)
+  }
+
+  test("text_decontaminate: eval grams broadcast; corpus gram index never shuffles") {
+    val df = q("text_decontaminate")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // The eval-match join must be map-side over the corpus scan: SOME
+    // BroadcastHashJoin's streamed (probe) subtree contains no shuffle —
+    // i.e. the corpus gram index reaches its first join without an
+    // Exchange. If the broadcast regressed to a shuffle join this fails.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    val bhj = df.queryExecution.sparkPlan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, p)
+    val mapSide = bhj.exists { j =>
+      val streamed = if (j.buildSide == BuildRight) j.left else j.right
+      streamed.collect { case e: ShuffleExchangeLike => e }.isEmpty
+    }
+    assert(mapSide, p)
+  }
 }
