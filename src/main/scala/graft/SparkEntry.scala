@@ -792,15 +792,19 @@ FROM base b JOIN cnt c USING (doc_id)""",
     // mean word length compares as word_chars <> bound*n_tokens (integer) so
     // no float reaches the hash. top word frequency reuses the
     // text_repetition unnest+GROUP BY shape.
+    // LEFT JOIN + a leading null_text rule keep a NULL-text document in the
+    // result (unnest(NULL) yields zero rows, so an inner join would silently
+    // drop the doc while the Spark side emits a row for it).
     "text_filter" ->
-      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws, len(replace(text, ' ', '')) AS wc FROM documents),
+      """WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS ws, len(replace(text, ' ', '')) AS wc FROM documents),
 top AS (SELECT doc_id, max(c) AS top FROM (
   SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(ws) AS w FROM base) GROUP BY doc_id, w) GROUP BY doc_id),
-s AS (SELECT b.doc_id, len(b.ws) AS ntok, b.wc,
+s AS (SELECT b.doc_id, b.text, len(b.ws) AS ntok, b.wc,
   len(list_filter(b.ws, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS nstop, t.top
-  FROM base b JOIN top t USING (doc_id)),
+  FROM base b LEFT JOIN top t USING (doc_id)),
 r AS (SELECT doc_id,
-  CASE WHEN ntok < 50 THEN 'too_few_words'
+  CASE WHEN text IS NULL THEN 'null_text'
+       WHEN ntok < 50 THEN 'too_few_words'
        WHEN ntok > 100000 THEN 'too_many_words'
        WHEN wc < 3 * ntok THEN 'mean_word_len_low'
        WHEN wc > 10 * ntok THEN 'mean_word_len_high'

@@ -64,12 +64,12 @@ object TextAnalysis {
     )
 
   /** Max per-word frequency as the longest equal-adjacent run of the SORTED
-    * token array — the exactness of an explode + groupBy count without its
-    * (doc_id, word) exchange; shared by [[repetitionStats]] and
-    * [[corpusFilter]]'s repetition rule. */
-  private val TopWordCountExpr =
-    """aggregate(
-         array_sort(split(text, ' ')),
+    * token array (`arr` = any array<string> SQL fragment) — the exactness of
+    * an explode + groupBy count without its (doc_id, word) exchange; shared
+    * by [[repetitionStats]] and [[corpusFilter]]'s repetition rule. */
+  private def topWordCountExpr(arr: String) =
+    s"""aggregate(
+         array_sort($arr),
          named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
          (acc, w) -> named_struct(
            'prev', w,
@@ -82,7 +82,7 @@ object TextAnalysis {
     * the most frequent word. Shapes chosen for 100 TB: everything is a
     * per-row narrow projection (array HOFs over the token list — work
     * bounded by document length, no shuffle), including `top_word_count`
-    * (see [[TopWordCountExpr]]). */
+    * (see [[topWordCountExpr]]). */
   def repetitionStats(docs: DataFrame): DataFrame =
     // Written with slice/zip_with (array-level ops) rather than per-index
     // element_at(split(...), i): a split inside a HOF lambda re-tokenizes
@@ -96,7 +96,7 @@ object TextAnalysis {
                 slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
                 (a, b) -> concat(a, ' ', b))))""")
         .as("distinct_bigrams"),
-      expr(TopWordCountExpr).as("top_word_count"),
+      expr(topWordCountExpr("split(text, ' ')")).as("top_word_count"),
     )
 
   /** Rule-based corpus filter (the C4/Gopher-style keep/drop gate a
@@ -110,24 +110,31 @@ object TextAnalysis {
     * arithmetic on the token array of the row itself (mean word length is
     * compared as `word_chars ≷ bound × n_tokens`, so no floating point
     * reaches the driver-hashed output), and the repetition rule reuses
-    * [[TopWordCountExpr]]'s sorted-run fold instead of an explode +
+    * [[topWordCountExpr]]'s sorted-run fold instead of an explode +
     * groupBy — the whole filter runs in the scan's projection with no
     * shuffle, which is the only acceptable cost for a gate that touches
-    * all 100 TB by definition. */
+    * all 100 TB by definition. The token array and the rule cascade are
+    * each bound ONCE in their own projection (the HOF rules are
+    * CodegenFallback, so expression-level CSE cannot be assumed to fire;
+    * CollapseProject keeps a non-cheap alias referenced more than once in
+    * its own project, so Catalyst preserves the single evaluation). */
   def corpusFilter(docs: DataFrame,
                    minWords: Int = 50, maxWords: Int = 100000,
                    minMeanWordLen: Int = 3, maxMeanWordLen: Int = 10,
                    minStopwords: Int = 2, maxTopWordPct: Int = 20): DataFrame = {
-    val ntok = size(split(col("text"), " "))
+    val ntok = size(col("__toks"))
     val wchars = length(translate(col("text"), " ", ""))
-    val nstop = expr("size(filter(split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and'))")
-    val reason = when(ntok < minWords, "too_few_words")
+    val nstop = expr("size(filter(__toks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and'))")
+    val reason = when(col("text").isNull, "null_text")
+      .when(ntok < minWords, "too_few_words")
       .when(ntok > maxWords, "too_many_words")
       .when(wchars < ntok * minMeanWordLen, "mean_word_len_low")
       .when(wchars > ntok * maxMeanWordLen, "mean_word_len_high")
       .when(nstop < minStopwords, "too_few_stopwords")
-      .when(expr(TopWordCountExpr) * 100 > ntok * maxTopWordPct, "repetitive")
-    docs.select(col("doc_id"), reason.isNull.as("keep"), reason.as("reason"))
+      .when(expr(topWordCountExpr("__toks")) * 100 > ntok * maxTopWordPct, "repetitive")
+    docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"), reason.as("reason"))
+      .select(col("doc_id"), col("reason").isNull.as("keep"), col("reason"))
   }
 
   /** Rolling-hash fingerprint: 64-bit FNV-1a over the chars of the

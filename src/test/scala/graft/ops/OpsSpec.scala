@@ -156,6 +156,7 @@ class OpsSpec extends SparkSuite {
       (5L, stop + (1 to 60).map(i => "w" * 20 + i).mkString(" ")), // mean_word_len_high
       (6L, (1 to 60).map(i => s"word$i").mkString(" ")),  // no stopwords -> too_few_stopwords
       (7L, stop + (1 to 60).map(_ => "spam").mkString(" ")), // top word 60/64 -> repetitive
+      (9L, null: String),                                 // null_text (oracle LEFT-JOIN parity)
     ).toDF("doc_id", "text")
     val got = graft.ops.TextAnalysis.corpusFilter(docs).collect()
       .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.getString(2)).orNull)).toMap
@@ -165,6 +166,7 @@ class OpsSpec extends SparkSuite {
     assert(got(5L) == (false, "mean_word_len_high"))
     assert(got(6L) == (false, "too_few_stopwords"))
     assert(got(7L) == (false, "repetitive"))
+    assert(got(9L) == (false, "null_text"))
     // rule ORDER: a doc failing both word-count and stopword rules reports
     // the earlier rule
     val both = Seq((8L, "zz yy xx")).toDF("doc_id", "text")

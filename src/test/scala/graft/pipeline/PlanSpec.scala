@@ -213,6 +213,11 @@ class PlanSpec extends SparkSuite {
     val p = plan(q("text_filter"))
     assert(!p.contains("Exchange"), p)
     assert(p.contains("ReadSchema") && !p.contains("lang") && !p.contains("source"), p)
+    // single evaluation: the token array and the rule cascade are each bound
+    // once — CollapseProject must NOT inline the non-cheap aliases into
+    // their multiple uses (each inlining would re-split/re-sort per use)
+    assert("array_sort".r.findAllIn(p).length == 1, p)
+    assert("split\\(text".r.findAllIn(p).length == 1, p)
   }
 
   test("text_decontaminate: eval grams broadcast; corpus gram index never shuffles") {
