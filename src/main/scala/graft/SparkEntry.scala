@@ -50,6 +50,20 @@ object SparkEntry {
         .filter(col("error").isNull)
         .select("subj", "pred", "obj")
     }),
+    // Same round trip through the QUADS surfaces: parse with a non-default
+    // graph (ParserOptions.defaultGraph), nquads sink, readQuads source —
+    // the 4th term survives the trip and hashes against a constant oracle.
+    "kg_nq_roundtrip" -> ((s, dir) => {
+      val out = scratchDir("nq_rt_" + Integer.toHexString(dir.hashCode))
+      Materialize.nquads(
+        ParseStage.parseQuads(
+          Transcripts.transcripts(s, dir).filter(col("turn_idx") % 2 === 0),
+          graft.rdf.ParserOptions(defaultGraph = "http://graft.dev/graph/corpus")),
+        out)
+      graft.sources.NTriples.readQuads(s, out)
+        .filter(col("error").isNull)
+        .select("subj", "pred", "obj", "graph")
+    }),
 
     // P2: conversation reconstruction + per-turn text equality evidence
     "kg_turn_text" -> ((s, dir) =>
@@ -557,6 +571,8 @@ SELECT q, neighbor, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= $k"""
         "JOIN capped y ON x.band = y.band AND x.bkey = y.bkey AND x.mention < y.mention"),
     "kg_triples" -> s"$expectedTriplesCte SELECT conv_id, turn_idx, subj, pred, obj FROM expected",
     "kg_nt_roundtrip" -> s"$expectedTriplesCte SELECT subj, pred, obj FROM expected",
+    "kg_nq_roundtrip" ->
+      s"$expectedTriplesCte SELECT subj, pred, obj, '<http://graft.dev/graph/corpus>' AS graph FROM expected",
     // Non-zero by construction (the seeded malformed docs): the hash gate
     // pins the exact error count, not just "no errors on a clean corpus".
     "kg_parse_errors" ->
