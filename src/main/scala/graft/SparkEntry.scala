@@ -149,6 +149,14 @@ object SparkEntry {
     // no per-query limit(1) probe job in the plan
     "sim_lsh_topk" -> ((s, dir) =>
       graft.ops.Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5, dim = 64)),
+    // ANN evaluation: LSH recall@5 vs the brute-force ground truth,
+    // reported as the integer hit count per query
+    "sim_lsh_recall" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.Similarity.recallAtK(
+        graft.ops.Similarity.bruteTopK(e, 16, 5),
+        graft.ops.Similarity.lshTopK(e, 16, 5, dim = 64))
+    }),
     "sim_ivf_topk" -> ((s, dir) =>
       graft.ops.Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
     // scale-path near-dup pairs: LSH bucket blocking + exact-cosine verify
@@ -561,6 +569,28 @@ sc AS (SELECT c.q, c.neighbor, round(${dotSql("x.embedding", "y.embedding")} / (
 r AS (SELECT q, neighbor, row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rk FROM sc)
 SELECT q, neighbor, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= $k"""
 
+  /** Exact brute-force top-k ground truth (shared by `sim_topk` and the
+    * recall composition). */
+  private def simTopkSql: String =
+    """WITH q AS (SELECT vec_id AS q, embedding AS qe FROM embeddings WHERE vec_id < 16),
+s AS (SELECT q.q, e.vec_id AS neighbor, round(list_cosine_similarity(q.qe, e.embedding), 9) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q),
+r AS (SELECT q, neighbor, row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rk FROM s)
+SELECT q, neighbor, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5"""
+
+  /** Random-hyperplane LSH ANN, replayed exactly: the 32 seeded planes are
+    * embedded as literals, bucket sign bits use the fold-exact dot (so the
+    * sign comparison sees bit-identical doubles), candidates are the
+    * (table, bucket) collisions, and ranking mirrors the Spark op.
+    * Constants match the SparkEntry call: nQueries=16, k=5, 8 tables × 4
+    * bits. Shared by `sim_lsh_topk` and the recall composition. */
+  private def simLshTopkSql: String =
+    s"""WITH pl(t, b, plane) AS ($planesValuesSql),
+dotp AS (SELECT e.vec_id, p.t, p.b, ${dotSql("e.embedding", "p.plane")} AS d FROM embeddings e, pl p),
+bk AS (SELECT vec_id, t, SUM(CASE WHEN d >= 0 THEN (1 << b) ELSE 0 END) AS bucket FROM dotp GROUP BY 1, 2),
+qb AS (SELECT vec_id AS q, t, bucket FROM bk WHERE vec_id < 16),
+cand AS (SELECT DISTINCT qb.q, b.vec_id AS neighbor FROM bk b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket WHERE b.vec_id <> qb.q),
+nrm AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS n FROM embeddings)${annRankSql(5)}"""
+
   def oracleSql: Map[String, String] = Map(
     "kg_minhash_sig" -> minhashSigSql,
     // LSH candidate pairs are a deterministic composition of the bit-exact
@@ -699,28 +729,20 @@ sym AS (SELECT a AS u, b AS v FROM star UNION SELECT b, a FROM star UNION SELECT
 reach(u, v) AS (SELECT u, v FROM sym UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
 SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u""",
 
-    "sim_topk" ->
-      """WITH q AS (SELECT vec_id AS q, embedding AS qe FROM embeddings WHERE vec_id < 16),
-s AS (SELECT q.q, e.vec_id AS neighbor, round(list_cosine_similarity(q.qe, e.embedding), 9) AS cos FROM embeddings e, q WHERE e.vec_id <> q.q),
-r AS (SELECT q, neighbor, row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS rk FROM s)
-SELECT q, neighbor, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""",
+    "sim_topk" -> simTopkSql,
 
     "sim_neardup" ->
       """SELECT x.vec_id AS a, y.vec_id AS b FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 WHERE x.vec_id < 200 AND y.vec_id < 200 AND list_cosine_similarity(x.embedding, y.embedding) >= 0.35""",
 
-    // Random-hyperplane LSH ANN, replayed exactly: the 32 seeded planes are
-    // embedded as literals, bucket sign bits use the fold-exact dot (so the
-    // sign comparison sees bit-identical doubles), candidates are the
-    // (table, bucket) collisions, and ranking mirrors the Spark op.
-    // Constants match the SparkEntry call: nQueries=16, k=5, 8 tables × 4 bits.
-    "sim_lsh_topk" ->
-      s"""WITH pl(t, b, plane) AS ($planesValuesSql),
-dotp AS (SELECT e.vec_id, p.t, p.b, ${dotSql("e.embedding", "p.plane")} AS d FROM embeddings e, pl p),
-bk AS (SELECT vec_id, t, SUM(CASE WHEN d >= 0 THEN (1 << b) ELSE 0 END) AS bucket FROM dotp GROUP BY 1, 2),
-qb AS (SELECT vec_id AS q, t, bucket FROM bk WHERE vec_id < 16),
-cand AS (SELECT DISTINCT qb.q, b.vec_id AS neighbor FROM bk b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket WHERE b.vec_id <> qb.q),
-nrm AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS n FROM embeddings)${annRankSql(5)}""",
+    "sim_lsh_topk" -> simLshTopkSql,
+    // Recall@k: each chain runs as a self-contained subquery (their CTE
+    // names collide), joined membership-only; COUNT(col) keeps BIGINT on
+    // both engines (SUM would widen to HUGEINT in DuckDB).
+    "sim_lsh_recall" ->
+      s"""SELECT e.q, COUNT(a.neighbor) AS n_hits
+FROM ($simTopkSql) e LEFT JOIN ($simLshTopkSql) a ON a.q = e.q AND a.neighbor = e.neighbor
+GROUP BY e.q""",
 
     // LSH near-dup pairs, replayed exactly: same plane literals and bucket
     // assignment as sim_lsh_topk, the bucket-membership cap, pair dedup,

@@ -56,6 +56,23 @@ object Similarity {
       .select("q", "neighbor", "rank")
   }
 
+  /** ANN evaluation: per-query hit count of an approximate top-k
+    * ([[lshTopK]]/[[ivfTopK]]) against the exact ground truth
+    * ([[bruteTopK]]) — recall@k = `n_hits / k`, reported as the integer
+    * numerator so the driver-hashed output stays float-free. Membership-
+    * only (rank-agnostic), the standard ANN recall definition.
+    *
+    * Scale shape: both inputs are nQueries × k rows by construction
+    * (recall is always evaluated on a query SAMPLE), so this audit join is
+    * broadcast-trivial; the cost lives in producing the inputs — the ops
+    * already plan-audited. A left join from the truth side keeps
+    * zero-hit queries in the result. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select("q", "neighbor")
+      .join(approx.select(col("q"), col("neighbor"), lit(1).as("hit")),
+        Seq("q", "neighbor"), "left")
+      .groupBy("q").agg(count(col("hit")).as("n_hits"))
+
   /** Deterministic pseudo-random hyperplanes (seeded, data-independent).
     * `private[graft]`: SparkEntry embeds the same values as SQL literals so
     * the DuckDB oracle can replay the exact bucket assignment. */

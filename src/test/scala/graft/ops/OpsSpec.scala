@@ -144,6 +144,24 @@ class OpsSpec extends SparkSuite {
     assert(graft.ops.Dedup.contaminationCounts(short, evalSet, k = 4).count() == 0)
   }
 
+  test("recallAtK: identity gives k hits per query; zero-hit queries survive; LSH recall bounded") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = graft.ops.Similarity.bruteTopK(e, 8, 5)
+    // identity: an approximation equal to the truth scores k for every q
+    val ident = graft.ops.Similarity.recallAtK(exact, exact).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ident.size == 8 && ident.values.forall(_ == 5L), ident.toString)
+    // disjoint approximation: every query survives with 0 hits (left join)
+    import org.apache.spark.sql.functions.{col, lit}
+    val none = graft.ops.Similarity.recallAtK(exact,
+      exact.select(col("q"), (col("neighbor") + lit(1000000)).as("neighbor"), col("rank")))
+    assert(none.collect().map(_.getLong(1)).toSeq == Seq.fill(8)(0L))
+    // real LSH approximation: 0 <= n_hits <= k for each of the 8 queries
+    val real = graft.ops.Similarity.recallAtK(exact,
+      graft.ops.Similarity.lshTopK(e, 8, 5, dim = 64)).collect()
+    assert(real.length == 8 && real.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 5))
+  }
+
   test("corpusFilter: every rule reachable, first-failing-rule order, Gopher defaults keep real prose") {
     import spark.implicits._
     val stop = "the a of and " // 4 stopwords
