@@ -56,8 +56,7 @@ object SparkEntry {
     "kg_nq_roundtrip" -> ((s, dir) => {
       val out = scratchDir("nq_rt_" + Integer.toHexString(dir.hashCode))
       Materialize.nquads(
-        ParseStage.parseQuads(
-          Transcripts.transcripts(s, dir).filter(col("turn_idx") % 2 === 0),
+        ParseStage.parsedQuadTranscripts(s, dir,
           graft.rdf.ParserOptions(defaultGraph = "http://graft.dev/graph/corpus")),
         out)
       graft.sources.NTriples.readQuads(s, out)

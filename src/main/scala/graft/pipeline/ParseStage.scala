@@ -95,4 +95,11 @@ object ParseStage {
     * sits on a base column, so it is pushed below everything else. */
   def parsedTranscripts(spark: SparkSession, sfDir: String): Dataset[TripleRow] =
     parseTurns(Transcripts.transcripts(spark, sfDir).filter(col("turn_idx") % 2 === 0))
+
+  /** [[parsedTranscripts]] through the quads surface — same payload-turn
+    * selection (the even-turn convention lives HERE, not at call sites),
+    * with the graph column from `opts.defaultGraph`. */
+  def parsedQuadTranscripts(spark: SparkSession, sfDir: String,
+                            opts: ParserOptions): DataFrame =
+    parseQuads(Transcripts.transcripts(spark, sfDir).filter(col("turn_idx") % 2 === 0), opts)
 }

@@ -71,7 +71,7 @@ class PipelineSpec extends SparkSuite {
     val stats = KgPipeline.run(spark, sfDir, out)
     assert(stats.turns == 1000)
     assert(stats.triples > 2400) // parsed triples + sameAs triples
-    // the corpus seeds doc_id % 64 == 63 as malformed (7 of 500 at sf0.001):
+    // the corpus seeds doc_id % 65 == 63 as malformed (7 of 500 at sf0.001):
     // the pipeline surfaces them on the error channel without failing
     assert(stats.parseErrors == 7)
     assert(stats.mentions == 1000)

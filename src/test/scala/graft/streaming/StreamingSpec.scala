@@ -21,7 +21,7 @@ class StreamingSpec extends SparkSuite {
     q.awaitTermination(120000)
 
     val streamed = spark.read.parquet(s"$out/data")
-    // the corpus seeds doc_id % 64 == 63 as malformed: the error channel
+    // the corpus seeds doc_id % 65 == 63 as malformed: the error channel
     // must surface exactly those through the stream, same as in batch
     val expectedErrors = Transcripts.documents(spark, sfDir)
       .filter(col("doc_id") % Transcripts.MalformedMod === Transcripts.MalformedRem).count()
