@@ -317,6 +317,23 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
+
+    // Backward as-of join (an operator Spark lacks): each click picks up the
+    // most recent purchase by the same user at-or-before its timestamp.
+    // Union-tag + one window — a single key shuffle, no range cross-product
+    // (see AsOfJoin). The corpus has no duplicate (user_id, ts), so the
+    // DuckDB ASOF oracle is deterministic.
+    "q_asof" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("matched_purchase"), col("value").as("purchase_value"))
+      graft.ops.AsOfJoin.backward(clicks, purchases,
+          key = "user_id", leftTime = "ts", rightTime = "ts")
+        .select("event_id", "user_id", "matched_purchase", "purchase_value")
+    }),
   )
 
   /** Per-JVM scratch root for sink→source round-trip queries: unique per
@@ -936,5 +953,11 @@ INTERSECT SELECT o_custkey FROM orders""",
       """WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)
 SELECT user_id, CAST(SUM(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
 COUNT(*) AS n_events FROM x GROUP BY 1""",
+
+    "q_asof" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS matched_purchase, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts""",
   )
 }

@@ -411,4 +411,42 @@ class OpsSpec extends SparkSuite {
     assert(frames.map(f => (f.doc_id, f.frame_idx, f.frame_checksum)).toSet ==
       again.map(f => (f.doc_id, f.frame_idx, f.frame_checksum)).toSet)
   }
+
+  test("as-of join: backward match, >= tie, NULL payload field, unmatched left") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // matches right at t=10 (equal time counts, >=)
+      (1L, 15L, 101L), // matches right at t=12 — whose payload field is NULL
+      (1L, 5L, 102L),  // before any right row → no match
+      (2L, 99L, 103L), // key with no right rows at all → no match
+    ).toDF("k", "t", "left_tag")
+    val right = Seq(
+      (1L, 10L, Option(7L)),
+      (1L, 12L, Option.empty[Long]), // legit NULL payload must NOT fall back to t=10
+      (1L, 20L, Option(9L)),         // future row must never match backward
+    ).toDF("k", "t", "pay")
+
+    val out = AsOfJoin.backward(left, right, key = "k", leftTime = "t", rightTime = "t")
+    assert(out.columns.toSeq == Seq("k", "t", "left_tag", "pay"))
+    val got = out.as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._3 -> r._4).toMap
+    assert(got == Map(100L -> Some(7L), 101L -> None, 102L -> None, 103L -> None))
+    // 101 matched the t=12 right row (present, NULL payload) — distinguish
+    // "matched a NULL payload" from "unmatched" via a row-count probe
+    val matched = AsOfJoin.backward(left, right.withColumn("marker", lit(1)), "k", "t", "t")
+      .filter(col("marker").isNotNull).count()
+    assert(matched == 2) // tags 100 and 101; 102/103 carry NULL markers
+  }
+
+  test("as-of join plans as one key exchange — no join operator, no row amplification") {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val clicks = e.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    val df = AsOfJoin.backward(clicks, purchases, "user_id", "ts", "ts")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("Join"), s"as-of must not plan a join:\n$phys")
+    assert("Exchange hashpartitioning".r.findAllIn(phys).size == 1,
+      s"exactly one key shuffle expected:\n$phys")
+  }
 }
