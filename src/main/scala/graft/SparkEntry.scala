@@ -334,6 +334,18 @@ object SparkEntry {
           key = "user_id", leftTime = "ts", rightTime = "ts")
         .select("event_id", "user_id", "matched_purchase", "purchase_value")
     }),
+
+    // Pivot: status columns out of l_linestatus. The pivot domain is passed
+    // explicitly — without it Spark runs an extra distinct-values job over
+    // the whole table before it can even build the plan, which at 100 TB is
+    // a full scan spent on schema inference. Same decimal-sum-then-double
+    // recipe as q1_agg for hash parity.
+    "q_pivot" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double"))
+        .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))),
   )
 
   /** Per-JVM scratch root for sink→source round-trip queries: unique per
@@ -959,5 +971,11 @@ COUNT(*) AS n_events FROM x GROUP BY 1""",
 FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+FROM lineitem GROUP BY 1""",
   )
 }
