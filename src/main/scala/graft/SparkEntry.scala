@@ -346,6 +346,23 @@ object SparkEntry {
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double"))
         .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))),
+
+    // Exact discrete percentiles + exact distinct count, through the SQL
+    // surface (WITHIN GROUP). percentile_disc returns an actual data value —
+    // no interpolation arithmetic, so cross-engine hash parity is exact; the
+    // oracle encodes Spark's "smallest value with cume_dist >= p" definition
+    // directly rather than trusting DuckDB's quantile indexing to agree.
+    // Exact disc percentiles buffer each group's values; at 100 TB the scale
+    // path is approx_percentile (t-digest, mergeable partials) — the exact
+    // form here is the correctness gate.
+    "q_quantile" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("lineitem_q")
+      s.sql("""SELECT l_returnflag,
+        percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+        percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price,
+        COUNT(DISTINCT l_partkey) AS n_parts
+        FROM lineitem_q GROUP BY l_returnflag""")
+    }),
   )
 
   /** Per-JVM scratch root for sink→source round-trip queries: unique per
@@ -977,5 +994,16 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
 CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
 FROM lineitem GROUP BY 1""",
+
+    "q_quantile" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity, l_extendedprice, l_partkey,
+cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd_q,
+cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cd_p
+FROM lineitem)
+SELECT l_returnflag,
+MIN(CASE WHEN cd_q >= 0.5 THEN l_quantity END) AS p50_qty,
+MIN(CASE WHEN cd_p >= 0.9 THEN l_extendedprice END) AS p90_price,
+COUNT(DISTINCT l_partkey) AS n_parts
+FROM r GROUP BY 1""",
   )
 }
