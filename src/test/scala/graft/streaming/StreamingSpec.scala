@@ -213,4 +213,63 @@ class StreamingSpec extends SparkSuite {
     val n2 = spark.read.parquet(s"$out/data").count()
     assert(n1 == n2, "restart must be exactly-once, not re-emit")
   }
+
+  private def tsAt(min: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min.toLong))
+
+  test("stream-stream interval join: purchases attribute to clicks in the horizon, not beyond") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val joined = StreamingJoins.clickAttribution(
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      purchases.toDF().toDF("user_id", "ts", "event_id", "value"),
+      watermark = "10 minutes", horizonMinutes = 30)
+    val q = joined.writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      clicks.addData((1L, tsAt(0), 100L), (1L, tsAt(5), 101L), (2L, tsAt(0), 102L))
+      // user 1: purchase 20 min after the clicks (inside the 30-min horizon);
+      // user 2: purchase 40 min after its click (outside) — must NOT match
+      purchases.addData((1L, tsAt(20), 200L, 9.5), (2L, tsAt(40), 201L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("attr").select("user_id", "click_id", "purchase_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L, 200L), (1L, 101L, 200L)))
+    } finally q.stop()
+  }
+
+  test("event-time sessionization: gap overshoot closes in-batch, watermark timeout reaps quiet keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = MemoryStream[(Long, java.sql.Timestamp)]
+    val sess = StreamingJoins.sessionize(spark, ev.toDF().toDF("user_id", "ts"), gapMinutes = 10)
+    val q = sess.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      def emitted = spark.table("sess")
+        .as[SessionOut].collect().map(s =>
+          (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events)).toSet
+      def at(min: Int) = tsAt(min).getTime
+
+      ev.addData((1L, tsAt(0)), (1L, tsAt(5)))
+      q.processAllAvailable()
+      assert(emitted.isEmpty, "open session must not emit")
+
+      // 55-min gap observed directly: closes [0,5] and opens [60,60]
+      ev.addData((1L, tsAt(60)))
+      q.processAllAvailable()
+      assert(emitted == Set((1L, at(0), at(5), 2L)))
+
+      // other-key traffic advances the watermark past user 1's
+      // last-event+gap; the event-time timeout closes [60,60] with no
+      // further user-1 data
+      ev.addData((2L, tsAt(120)))
+      q.processAllAvailable()
+      ev.addData((2L, tsAt(130)))
+      q.processAllAvailable()
+      assert(emitted == Set((1L, at(0), at(5), 2L), (1L, at(60), at(60), 1L)))
+    } finally q.stop()
+  }
 }
