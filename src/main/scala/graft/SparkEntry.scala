@@ -355,14 +355,14 @@ object SparkEntry {
     // Exact disc percentiles buffer each group's values; at 100 TB the scale
     // path is approx_percentile (t-digest, mergeable partials) — the exact
     // form here is the correctness gate.
-    "q_quantile" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("lineitem_q")
-      s.sql("""SELECT l_returnflag,
+    "q_quantile" -> ((s, dir) =>
+      // direct-file SQL (`parquet.`) keeps the registry query free of
+      // catalog side effects — no temp view outlives the call
+      s.sql(s"""SELECT l_returnflag,
         percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
         percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price,
         COUNT(DISTINCT l_partkey) AS n_parts
-        FROM lineitem_q GROUP BY l_returnflag""")
-    }),
+        FROM parquet.`$dir/lineitem.parquet` GROUP BY l_returnflag""")),
   )
 
   /** Per-JVM scratch root for sink→source round-trip queries: unique per

@@ -42,6 +42,17 @@ object AsOfJoin {
     val payloadCols = right.columns.filterNot(c => c == key || c == rightTime).toSeq
     val leftCols = left.columns.toSeq
     require(payloadCols.nonEmpty, "right side needs at least one payload column")
+    val collisions = leftCols.toSet & payloadCols.toSet
+    require(collisions.isEmpty,
+      s"left columns collide with right payload columns: ${collisions.mkString(", ")} — " +
+        "rename one side or the output would carry ambiguous duplicate names")
+
+    // SQL join semantics: a NULL key never equi-matches and a NULL time
+    // never satisfies `>=`, so such right rows can match nothing — prune
+    // them at the scan. (Window.partitionBy would otherwise group NULL keys
+    // into one partition and hand NULL-keyed left rows a bogus match; a
+    // NULL-time right row would sort nulls-first and back-fill everything.)
+    val matchableRight = right.filter(col(key).isNotNull && col(rightTime).isNotNull)
 
     // A whole-row struct per side, so a single ignoreNulls window expression
     // carries the match: the struct from a right row is non-null even when
@@ -52,7 +63,7 @@ object AsOfJoin {
     val leftStruct = struct(leftCols.map(col): _*)
     val leftType = left.select(leftStruct.as("l")).schema("l").dataType
 
-    val taggedRight = right.select(
+    val taggedRight = matchableRight.select(
       col(key).as("__k"), col(rightTime).as("__t"), lit(1).as("__isR"),
       payStruct.as("__pay"), lit(null).cast(leftType).as("__row"))
     val taggedLeft = left.select(

@@ -94,12 +94,16 @@ object ParseStage {
     * turn_idx carries the payloads; odd ones are prose for NER). The filter
     * sits on a base column, so it is pushed below everything else. */
   def parsedTranscripts(spark: SparkSession, sfDir: String): Dataset[TripleRow] =
-    parseTurns(Transcripts.transcripts(spark, sfDir).filter(col("turn_idx") % 2 === 0))
+    parseTurns(payloadTurns(spark, sfDir))
 
   /** [[parsedTranscripts]] through the quads surface — same payload-turn
-    * selection (the even-turn convention lives HERE, not at call sites),
-    * with the graph column from `opts.defaultGraph`. */
+    * selection, with the graph column from `opts.defaultGraph`. */
   def parsedQuadTranscripts(spark: SparkSession, sfDir: String,
                             opts: ParserOptions): DataFrame =
-    parseQuads(Transcripts.transcripts(spark, sfDir).filter(col("turn_idx") % 2 === 0), opts)
+    parseQuads(payloadTurns(spark, sfDir), opts)
+
+  /** The even-turn payload convention, pinned in exactly one place so the
+    * triple and quad surfaces can never diverge. */
+  private def payloadTurns(spark: SparkSession, sfDir: String): DataFrame =
+    Transcripts.transcripts(spark, sfDir).filter(col("turn_idx") % 2 === 0)
 }

@@ -8,8 +8,13 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                             session_end: java.sql.Timestamp, n_events: Long)
 
-/** Open-session state carried between micro-batches (epoch millis). */
-final case class SessionState(start: Long, end: Long, n: Long)
+/** One gap-delimited run of events (epoch millis). */
+final case class SessionRun(start: Long, end: Long, n: Long)
+
+/** Per-key state: every run the watermark has not yet sealed. Runs stay
+  * here — still mergeable by late events — until `end + gap` falls behind
+  * the watermark, at which point no admissible event can extend them. */
+final case class SessionState(runs: Seq[SessionRun])
 
 /** Event-time streaming operators over the `events` shape
   * (user_id BIGINT, ts TIMESTAMP, event_id BIGINT, ...).
@@ -46,18 +51,23 @@ object StreamingJoins {
   }
 
   /** Event-time session windows with `flatMapGroupsWithState`: a user's
-    * session closes when `gapMinutes` pass with no event — either observed
-    * directly (a later event in some batch overshoots the gap, closing the
-    * previous run) or enforced by an event-time timeout when the watermark
-    * passes `last event + gap` and the key goes quiet. Append-mode: each
-    * session is emitted exactly once, when it closes.
+    * session closes when `gapMinutes` pass with no event. Append-mode,
+    * exactly-once: a run is emitted only when the watermark passes
+    * `end + gap` — before that a late event (the watermark delay is
+    * exactly the admissible lateness) could still extend or merge it, so
+    * runs are held in state, mergeable in BOTH directions (a late event
+    * just before a run's start pulls `session_start` back; one between two
+    * runs fuses them). Keys with no data are reaped by an event-time
+    * timeout at the earliest unsealed `end + gap`.
     *
     * The batch q_sessions (lag/window over the full table) is the
     * reprocessing form of this operator; this is the incremental form with
-    * per-key state the engine checkpoints and shards. */
+    * per-key state the engine checkpoints and shards. The default
+    * watermark matches the gap — a zero-lateness default would silently
+    * drop any key whose events trail the fastest key by one batch. */
   def sessionize(spark: SparkSession, events: DataFrame,
                  gapMinutes: Int = 10,
-                 watermark: String = "0 seconds"): Dataset[SessionOut] = {
+                 watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
 
@@ -67,37 +77,31 @@ object StreamingJoins {
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (user, it, state) =>
-        def out(s: SessionState) = SessionOut(user,
-          new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n)
+        val wm = state.getCurrentWatermarkMs()
+        val carried = state.getOption.map(_.runs).getOrElse(Seq.empty)
+        val points = it.map(t => SessionRun(t._2.getTime, t._2.getTime, 1L)).toSeq
 
-        if (state.hasTimedOut) {
-          val closed = out(state.get)
-          state.remove()
-          Iterator.single(closed)
-        } else {
-          // Fold this batch's events (plus any carried open session) into
-          // gap-delimited runs; all but the last run close now, the last
-          // stays open with a timeout at end + gap.
-          val times = it.map(_._2.getTime).toArray.sorted
-          var open = state.getOption
-          val closed = Array.newBuilder[SessionOut]
-          times.foreach { t =>
-            open match {
-              case Some(s) if t - s.end <= gapMs =>
-                open = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
-              case Some(s) =>
-                closed += out(s)
-                open = Some(SessionState(t, t, 1))
-              case None =>
-                open = Some(SessionState(t, t, 1))
-            }
-          }
-          open.foreach { s =>
-            state.update(s)
-            state.setTimeoutTimestamp(s.end + gapMs)
-          }
-          closed.result().iterator
+        // Interval merge: carried runs and new points, ordered by start,
+        // fuse whenever the gap between them is <= gapMs. Late points
+        // extend runs backward or bridge two runs — order of arrival
+        // across batches cannot change the result.
+        val merged = (carried ++ points).sortBy(r => (r.start, r.end))
+          .foldLeft(List.empty[SessionRun]) {
+            case (cur :: done, r) if r.start - cur.end <= gapMs =>
+              SessionRun(cur.start, math.max(cur.end, r.end), cur.n + r.n) :: done
+            case (acc, r) => r :: acc
+          }.reverse
+
+        // A run is sealed once end + gap <= watermark: the engine admits no
+        // event older than the watermark, so nothing can extend it.
+        val (ripe, open) = merged.partition(_.end + gapMs <= wm)
+        if (open.isEmpty) state.remove()
+        else {
+          state.update(SessionState(open))
+          state.setTimeoutTimestamp(open.map(_.end).min + gapMs)
         }
+        ripe.iterator.map(r => SessionOut(user,
+          new java.sql.Timestamp(r.start), new java.sql.Timestamp(r.end), r.n))
       }
   }
 }

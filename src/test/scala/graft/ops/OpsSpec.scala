@@ -438,6 +438,27 @@ class OpsSpec extends SparkSuite {
     assert(matched == 2) // tags 100 and 101; 102/103 carry NULL markers
   }
 
+  test("as-of join: NULL right keys/times never match, NULL-key left rows stay unmatched, name collisions rejected") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), Option(5L), 100L),
+      (Option.empty[Long], Option(5L), 101L), // NULL key: SQL equi-join semantics → no match
+    ).toDF("k", "t", "left_tag")
+    val right = Seq(
+      (Option(1L), Option(4L), Option(99L)),
+      (Option(1L), Option.empty[Long], Option(98L)), // NULL time can't satisfy >=
+      (Option.empty[Long], Option(1L), Option(97L)), // NULL key can't equi-match
+    ).toDF("k", "t", "pay")
+    val got = AsOfJoin.backward(left, right, "k", "t", "t")
+      .as[(Option[Long], Option[Long], Long, Option[Long])].collect()
+      .map(r => r._3 -> r._4).toMap
+    assert(got == Map(100L -> Some(99L), 101L -> None))
+
+    val e = intercept[IllegalArgumentException](
+      AsOfJoin.backward(left.withColumnRenamed("left_tag", "pay"), right, "k", "t", "t"))
+    assert(e.getMessage.contains("pay"))
+  }
+
   test("as-of join plans as one key exchange — no join operator, no row amplification") {
     val e = spark.read.parquet(s"$sfDir/events.parquet")
     val clicks = e.filter(col("event_type") === "click").select("event_id", "user_id", "ts")

@@ -240,12 +240,13 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("event-time sessionization: gap overshoot closes in-batch, watermark timeout reaps quiet keys") {
+  test("event-time sessionization: runs seal only when the watermark passes end+gap") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ev = MemoryStream[(Long, java.sql.Timestamp)]
-    val sess = StreamingJoins.sessionize(spark, ev.toDF().toDF("user_id", "ts"), gapMinutes = 10)
+    val sess = StreamingJoins.sessionize(spark, ev.toDF().toDF("user_id", "ts"),
+      gapMinutes = 10, watermark = "0 seconds")
     val q = sess.writeStream.format("memory").queryName("sess").outputMode("append").start()
     try {
       def emitted = spark.table("sess")
@@ -257,19 +258,53 @@ class StreamingSpec extends SparkSuite {
       q.processAllAvailable()
       assert(emitted.isEmpty, "open session must not emit")
 
-      // 55-min gap observed directly: closes [0,5] and opens [60,60]
+      // the 55-min overshoot splits the runs; the event advances the
+      // watermark to 60 min and the engine's trailing no-data batch fires
+      // the timeout, sealing [0,5] (end+gap=15 <= 60). [60,60] (sealable
+      // at 70) stays open — a late event could still extend it.
       ev.addData((1L, tsAt(60)))
       q.processAllAvailable()
       assert(emitted == Set((1L, at(0), at(5), 2L)))
 
-      // other-key traffic advances the watermark past user 1's
-      // last-event+gap; the event-time timeout closes [60,60] with no
-      // further user-1 data
+      // other-key traffic pushes the watermark to 120 min: the timeout
+      // seals [60,60] with no further user-1 data
       ev.addData((2L, tsAt(120)))
       q.processAllAvailable()
+      assert(emitted == Set((1L, at(0), at(5), 2L), (1L, at(60), at(60), 1L)))
+
+      // and the still-open user-2 run emits nothing
       ev.addData((2L, tsAt(130)))
       q.processAllAvailable()
       assert(emitted == Set((1L, at(0), at(5), 2L), (1L, at(60), at(60), 1L)))
+    } finally q.stop()
+  }
+
+  test("event-time sessionization: an admissible late event merges backward into the open run") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = MemoryStream[(Long, java.sql.Timestamp)]
+    val sess = StreamingJoins.sessionize(spark, ev.toDF().toDF("user_id", "ts"),
+      gapMinutes = 10, watermark = "10 minutes")
+    val q = sess.writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    try {
+      def emitted = spark.table("sess_late")
+        .as[SessionOut].collect().map(s =>
+          (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events)).toSet
+      def at(min: Int) = tsAt(min).getTime
+
+      ev.addData((3L, tsAt(30)))
+      q.processAllAvailable()
+      // watermark is now 20 min; an event at 25 min is LATE but admissible
+      // (inside the 10-min delay) and 5 min BEFORE the run's start — it
+      // must pull session_start back, not corrupt the run or be dropped
+      ev.addData((3L, tsAt(25)))
+      q.processAllAvailable()
+      ev.addData((4L, tsAt(120)))
+      q.processAllAvailable()
+      ev.addData((4L, tsAt(125)))
+      q.processAllAvailable()
+      assert(emitted == Set((3L, at(25), at(30), 2L)))
     } finally q.stop()
   }
 }
