@@ -114,6 +114,25 @@ object SparkEntry {
         .groupBy("subj")
         .agg(count(lit(1)).as("degree"), countDistinct(col("pred")).as("n_pred"))),
 
+    // ---------------- downstream graph analytics over the constructed KG
+
+    "kg_degree_hist" -> ((s, dir) =>
+      graft.ops.GraphAnalytics.degreeHistogram(ParseStage.parsedTranscripts(s, dir).toDF())),
+
+    "kg_2hop" -> ((s, dir) =>
+      graft.ops.GraphAnalytics.twoHopCounts(
+        graft.ops.GraphAnalytics.nodeEdges(ParseStage.parsedTranscripts(s, dir).toDF()))),
+
+    // triangles over the entity-similarity graph (jaccardEdges emits a < b)
+    "kg_triangles" -> ((s, dir) =>
+      graft.ops.GraphAnalytics.triangleCount(
+        Linking.jaccardEdges(Ner.mentionUniverse(Transcripts.transcripts(s, dir)), 0.5))),
+
+    // fixed-point integer PageRank — exactly reproducible across engines
+    // and partitionings, hence hash-gateable (see GraphAnalytics.pageRank)
+    "kg_pagerank" -> ((s, dir) =>
+      graft.ops.GraphAnalytics.pageRank(ParseStage.parsedTranscripts(s, dir).toDF())),
+
     // ---------------- dedup / similarity / text analysis (documents table)
 
     "dedup_exact" -> ((s, dir) =>
@@ -424,6 +443,37 @@ expected AS (
 )"""
   }
 
+  /** Node→node edges of the expected KG, mirroring
+    * `GraphAnalytics.nodeEdges`: IRI objects (`<…>`) and blank nodes
+    * (`_:…`) are edges, literals are properties. `substring` rather than
+    * `LIKE '_:%'` because `_` is a LIKE wildcard. */
+  private def graphEdgesCte: String =
+    s"$expectedTriplesCte, edges AS (SELECT DISTINCT subj AS src, obj AS dst " +
+      "FROM expected WHERE obj LIKE '<%' OR substring(obj, 1, 2) = '_:')"
+
+  /** DuckDB mirror of `GraphAnalytics.pageRank`: the same integer
+    * fixed-point recurrence unrolled as chained CTEs (`//` is DuckDB floor
+    * division — identical to Spark's `div` on the all-positive ranks here;
+    * SUM over BIGINT widens to HUGEINT, so it is cast back before the
+    * comparison). */
+  private def pageRankSql(iterations: Int, scale: Long): String = {
+    val base = 15L * scale / 100L
+    val sb = new StringBuilder(graphEdgesCte)
+    sb.append(s""",
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank_fp FROM nodes)""")
+    for (i <- 1 to iterations) {
+      sb.append(s""",
+c$i AS (SELECT e.dst AS node, CAST(SUM(r.rank_fp // o.outdeg) AS BIGINT) AS contrib
+        FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+r$i AS (SELECT n.node, $base + (85 * COALESCE(c.contrib, 0)) // 100 AS rank_fp
+        FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""")
+    }
+    sb.append(s" SELECT node, rank_fp FROM r$iterations")
+    sb.toString
+  }
+
   /** The prose-turn prefix (capitalized span for the general NER path) —
     * one definition mirrored by every oracle that rebuilds prose text. */
   private val ProsePrefixSql =
@@ -685,6 +735,21 @@ mk AS (SELECT mention, split_part(mention, '#', 1) AS etype, CAST(split_part(men
 SELECT mention, entity_name FROM mk JOIN dk USING (etype, eid)""",
     "kg_adjacency" ->
       s"$expectedTriplesCte SELECT subj, COUNT(*) AS degree, COUNT(DISTINCT pred) AS n_pred FROM expected GROUP BY subj",
+
+    // ---------------- graph analytics
+
+    "kg_degree_hist" ->
+      s"""$expectedTriplesCte, deg AS (SELECT subj, COUNT(*) AS degree FROM expected GROUP BY subj)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree""",
+    "kg_2hop" ->
+      s"""$graphEdgesCte,
+okmid AS (SELECT src AS mid FROM edges GROUP BY src HAVING COUNT(*) <= 1024)
+SELECT e1.src AS src, COUNT(DISTINCT e2.dst) AS n_2hop
+FROM edges e1 JOIN okmid m ON e1.dst = m.mid JOIN edges e2 ON e1.dst = e2.src
+GROUP BY e1.src""",
+    "kg_triangles" ->
+      s"$mentionCtes SELECT COUNT(*) AS n_triangles FROM edges e1 JOIN edges e2 ON e2.a = e1.b JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b",
+    "kg_pagerank" -> pageRankSql(iterations = 3, scale = 1000000000L),
 
     // ---------------- dedup / text ops
 

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Downstream graph analytics over the constructed knowledge graph — the
+  * queries a KG consumer runs once materialization lands: degree
+  * distribution, bounded multi-hop expansion, triangle counting on the
+  * entity-similarity graph, and PageRank-style link analysis.
+  *
+  * All four are exact and DuckDB-oracle-able. PageRank deliberately runs in
+  * **scaled integer arithmetic** (fixed-point): floating-point rank sums are
+  * order-dependent across engines and partitionings, so a float PageRank can
+  * never be hash-gated — and at cluster scale it is not even run-to-run
+  * deterministic. Integer division and addition are associative enough
+  * (sums of longs commute exactly), which makes the result bit-stable under
+  * any partitioning.
+  *
+  * Scale notes (100 TB):
+  *  - Node-edges are a narrow projection of the triple table; when read from
+  *    the materialized bucketed triple table (Materialize.triples, bucketed
+  *    by subject hash) the per-source aggregations below reuse that
+  *    partitioning with no extra Exchange.
+  *  - Two-hop expansion is where celebrity nodes explode (a hub with 10^7
+  *    in-edges × 10^3 out-edges = 10^10 intermediate rows). The operator
+  *    takes the standard production cut: intermediates above an out-degree
+  *    cap are excluded (and the cap is part of the contract, mirrored in the
+  *    oracle), so the join output is bounded by |E| × cap.
+  *  - PageRank is one shuffle per iteration (contribution aggregation keyed
+  *    by destination); ranks and out-degrees are both keyed by node, so AQE
+  *    reuses the exchange. Each iteration's plan is cut with an eager
+  *    localCheckpoint: without it the lineage doubles per iteration and the
+  *    optimizer re-derives the whole chain at every action (same lesson as
+  *    Linking.jaccardEdges; executor-local spill, no driver round-trip).
+  */
+object GraphAnalytics {
+
+  /** Node→node edges of the parsed KG: IRI and blank-node objects are graph
+    * edges; literal objects are node properties, not edges. DISTINCT pairs —
+    * reachability/rank semantics, a multi-predicate pair is one edge. */
+  def nodeEdges(triples: DataFrame): DataFrame =
+    triples.filter(col("error").isNull && col("obj_type").isin("iri", "bnode"))
+      .select(col("subj").as("src"), col("obj").as("dst"))
+      .distinct()
+
+  /** Degree distribution of the triple table: how many subjects carry each
+    * out-degree (triples per subject, properties included). Two stacked
+    * aggregations, both with map-side partial combine; output is at most
+    * |distinct degrees| rows — tiny at any scale. */
+  def degreeHistogram(triples: DataFrame): DataFrame =
+    triples.filter(col("error").isNull)
+      .groupBy("subj").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+
+  /** Per-source count of distinct nodes reachable in exactly two hops,
+    * skipping intermediate nodes whose out-degree exceeds `maxMidOut` (the
+    * celebrity cut — see the scale note above). */
+  def twoHopCounts(edges: DataFrame, maxMidOut: Int = 1024): DataFrame = {
+    val okMid = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .filter(col("outdeg") <= maxMidOut)
+      .select(col("src").as("mid"))
+    edges.as("e1")
+      .join(okMid, col("e1.dst") === col("mid"))
+      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .groupBy(col("e1.src").as("src"))
+      .agg(countDistinct(col("e2.dst")).as("n_2hop"))
+  }
+
+  /** Global triangle count over an undirected edge list with the `a < b`
+    * canonical-order invariant (Linking.jaccardEdges emits exactly that).
+    * The ordering makes each triangle {a,b,c} countable exactly once as
+    * (a<b, b<c, a<c) — no division by 6, no symmetric closure blow-up.
+    * Cost is bounded by the edge list itself (already DF-capped upstream);
+    * the join is two equi-joins, never a cartesian. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select("a", "b")
+    e.as("e1")
+      .join(e.as("e2"), col("e2.a") === col("e1.b"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Fixed-point integer PageRank: every node starts with `scale` units of
+    * rank mass; each iteration a node keeps 15% of `scale` as teleport base
+    * and receives 85% of the summed integer contributions
+    * `rank div out_degree` from its in-neighbors. Dangling-node mass is
+    * dropped (the usual simple variant), identically on both engines.
+    *
+    * All arithmetic is integral (`div`, `*`, `+` on BIGINT) so the result is
+    * exactly reproducible across engines, partitionings, and cluster sizes —
+    * the property that lets this be driver-hash-gated at all. Bounds: total
+    * mass never exceeds nodes×scale; with scale = 10^9 that stays far under
+    * 2^63 up to ~10^9 nodes, and the 85× intermediate under ANSI overflow
+    * checks too. */
+  def pageRank(triples: DataFrame, iterations: Int = 3,
+               scale: Long = 1000000000L): DataFrame = {
+    val edges = nodeEdges(triples)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val contribSrc = edges.join(outdeg, "src").localCheckpoint(true)
+    val base = 15L * scale / 100L
+
+    var ranks = nodes.withColumn("rank_fp", lit(scale))
+    for (_ <- 1 to iterations) {
+      val contribs = contribSrc
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank_fp div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("contrib"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"$base + (85 * coalesce(contrib, 0L)) div 100").as("rank_fp"))
+        .localCheckpoint(true) // cut per-iteration lineage growth
+    }
+    ranks
+  }
+}
