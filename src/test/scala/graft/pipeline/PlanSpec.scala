@@ -240,4 +240,38 @@ class PlanSpec extends SparkSuite {
     }
     assert(mapSide, p)
   }
+
+  test("graph analytics: every join is an equi-join, aggregations combine map-side") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val triples = Seq(("<a>", "<p>", "<b>", "iri"), ("<b>", "<p>", "<c>", "iri"))
+      .toDF("subj", "pred", "obj", "obj_type")
+      .withColumn("error", lit(null: String))
+    val edges = graft.ops.GraphAnalytics.nodeEdges(triples)
+
+    // degree histogram: two stacked aggregates, both with a partial phase
+    val ph = plan(graft.ops.GraphAnalytics.degreeHistogram(triples))
+    assert("partial_count".r.findAllIn(ph).length >= 2, ph)
+
+    // 2-hop and triangles: equi-joins only — a CartesianProduct here is the
+    // O(|V|²) plan the celebrity cap / ordered-edge design exists to avoid
+    val p2 = plan(graft.ops.GraphAnalytics.twoHopCounts(edges))
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoop"), p2)
+    val pt = plan(graft.ops.GraphAnalytics.triangleCount(
+      Seq(("a", "b")).toDF("a", "b")))
+    assert(!pt.contains("CartesianProduct") && !pt.contains("BroadcastNestedLoop"), pt)
+
+    // PageRank's per-iteration plan (what repeats at scale): contribution
+    // aggregation is a partial+final HashAggregate over equi-joins
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ranks = edges.select(col("src").as("node")).distinct()
+      .withColumn("rank_fp", lit(1000000000L))
+    val contribs = edges.join(outdeg, "src")
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"), expr("rank_fp div outdeg").as("c"))
+      .groupBy("node").agg(sum("c").as("contrib"))
+    val pc = plan(contribs)
+    assert(!pc.contains("CartesianProduct"), pc)
+    assert(pc.contains("partial_sum"), pc)
+  }
 }
