@@ -90,11 +90,20 @@ object GraphAnalytics {
     * exactly reproducible across engines, partitionings, and cluster sizes —
     * the property that lets this be driver-hash-gated at all. Bounds: total
     * mass never exceeds nodes×scale; with scale = 10^9 that stays far under
-    * 2^63 up to ~10^9 nodes, and the 85× intermediate under ANSI overflow
-    * checks too. */
+    * 2^63 up to ~10^9 nodes. The 85% damping step is computed as
+    * `85*(c div 100) + (85*(c mod 100)) div 100` — identical to
+    * `(85*c) div 100` for the non-negative `c` here, but its largest
+    * intermediate is bounded by `c` itself, so a celebrity node whose
+    * aggregated inbound contribution approaches total-mass scale cannot
+    * push the pre-division product past Long.MaxValue (ANSI mode, the
+    * Spark 4 default, would kill the job on that overflow). */
   def pageRank(triples: DataFrame, iterations: Int = 3,
                scale: Long = 1000000000L): DataFrame = {
-    val edges = nodeEdges(triples)
+    // One cut for the thrice-consumed edge frame (nodes, outdeg, contribSrc)
+    // — without it each eager checkpoint below re-derives the filter +
+    // distinct shuffle from the triple table (the Linking.jaccardEdges
+    // lesson).
+    val edges = nodeEdges(triples).localCheckpoint(true)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -110,7 +119,8 @@ object GraphAnalytics {
         .groupBy("node").agg(sum("c").as("contrib"))
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          expr(s"$base + (85 * coalesce(contrib, 0L)) div 100").as("rank_fp"))
+          expr(s"$base + 85 * (coalesce(contrib, 0L) div 100)" +
+            " + (85 * (coalesce(contrib, 0L) % 100)) div 100").as("rank_fp"))
         .localCheckpoint(true) // cut per-iteration lineage growth
     }
     ranks
