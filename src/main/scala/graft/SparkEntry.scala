@@ -305,6 +305,20 @@ object SparkEntry {
         .groupBy("r_name").agg(count(lit(1)).as("n"))
     }),
 
+    // Explicit skew handling driver-gated end-to-end: the replicated-salt
+    // join must be EXACTLY an equi-join semantically (the oracle is the
+    // plain join), while spreading any hot supplier key over 8 reducers.
+    "q_salted" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_suppkey").as("suppkey"), col("l_orderkey"), col("l_quantity"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(li, sup, "suppkey", "l_orderkey", 8)
+        .groupBy("s_nationkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "q_rollup" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -1028,6 +1042,11 @@ WHERE rk <= 3""",
     "q_broadcast" ->
       """SELECT r_name, COUNT(*) AS n FROM customer
 JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1""",
+
+    "q_salted" ->
+      """SELECT s_nationkey,
+CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1""",
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,

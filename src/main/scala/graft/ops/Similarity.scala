@@ -177,6 +177,10 @@ object Similarity {
     // choice; a k-means refinement would slot in here without changing the
     // plan shape).
     val e = withNorms(embeddings)
+    // Global (unpartitioned) window — fires WindowExec's single-partition
+    // warning, but its input is the limit(nCells) frame below: at most
+    // nCells (=16) rows reach it at ANY data scale, so the single
+    // partition is a constant-size reduction, not a bottleneck.
     val w0 = Window.orderBy("vec_id")
     val codebook = e.orderBy("vec_id").limit(nCells)
       .select((row_number().over(w0) - 1).cast("int").as("cell"),

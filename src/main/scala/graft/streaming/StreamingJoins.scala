@@ -104,4 +104,24 @@ object StreamingJoins {
           new java.sql.Timestamp(r.start), new java.sql.Timestamp(r.end), r.n))
       }
   }
+
+  /** Streaming exact dedup — the incremental form of `dedup_exact`
+    * (ops/Dedup.scala): drop any row whose key columns (e.g. a content
+    * fingerprint) were already seen within the watermark horizon.
+    *
+    * `dropDuplicatesWithinWatermark` keeps one state entry per distinct key
+    * and — unlike a plain streaming `dropDuplicates`, whose keyed state
+    * grows without bound for the lifetime of the query — evicts each entry
+    * once the watermark passes its event time plus the delay. That trades
+    * a precise contract for bounded state: duplicates are guaranteed
+    * dropped only when they arrive within the watermark delay of the first
+    * occurrence; a re-occurrence after eviction is re-emitted (exactly the
+    * horizon semantics a 100 TB/day ingest dedup wants — global history
+    * belongs to the batch operator over the materialized table). State
+    * shards by key hash like any keyed shuffle. */
+  def dedupWithinWatermark(docs: DataFrame, keyCols: Seq[String],
+                           eventTimeCol: String = "ts",
+                           watermark: String = "10 minutes"): DataFrame =
+    docs.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

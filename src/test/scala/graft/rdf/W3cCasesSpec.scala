@@ -874,6 +874,66 @@ class W3cCasesSpec extends AnyFunSuite {
       ("http://example/b", s"${EG}prop", s"<<http://example/s ${EG}p http://example/o>>"))
   }
 
+  test("rdf12 eval: rdf:ID + rdf:annotation on ONE property element — classic reification AND rdf:reifies") {
+    // Both reifier channels are independent in the reference
+    // (`lib/RdfXmlParser.ts:664-675` sets them side by side;
+    // `emitTriple`:753+ emits the rdf:reifies triple AND the 4-triple
+    // rdf:Statement fan-out from the same call).
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG" xml:base="http://example/base">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:prop rdf:ID="r" rdf:annotation="http://example/t1">blah</eg:prop>
+  </rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}prop", "\"blah\""),
+      ("http://example/t1", s"${RDF}reifies", s"""<<http://example/a ${EG}prop "blah">>"""),
+      ("http://example/base#r", s"${RDF}type", s"${RDF}Statement"),
+      ("http://example/base#r", s"${RDF}subject", "http://example/a"),
+      ("http://example/base#r", s"${RDF}predicate", s"${EG}prop"),
+      ("http://example/base#r", s"${RDF}object", "\"blah\""))
+  }
+
+  test("rdf12 eval: triple term quoting a DIRECTIONAL language-tagged literal") {
+    // Interplay of the two rdf12 features: the quoted statement's object is
+    // a directional literal, which must survive inside the triple term.
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG" xmlns:its="http://www.w3.org/2005/11/its" rdf:version="1.2">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:prop rdf:parseType="Triple">
+      <rdf:Description rdf:about="http://example/s">
+        <eg:p xml:lang="en" its:dir="rtl">bye</eg:p>
+      </rdf:Description>
+    </eg:prop>
+  </rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}prop", s"""<<http://example/s ${EG}p "bye"@en--rtl>>"""))
+  }
+
+  test("rdf12 eval: triple term INSIDE a collection member's subtree") {
+    // A collection member node element carries its own parseType=Triple
+    // property: the list chain and the member's triple-term statement are
+    // independent emissions.
+    check(
+      s"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="$RDF" xmlns:eg="$EG" rdf:version="1.2">
+  <rdf:Description rdf:about="http://example/a">
+    <eg:list rdf:parseType="Collection">
+      <rdf:Description rdf:about="http://example/m1">
+        <eg:prop rdf:parseType="Triple">
+          <rdf:Description rdf:about="http://example/s"><eg:p rdf:resource="http://example/o"/></rdf:Description>
+        </eg:prop>
+      </rdf:Description>
+    </eg:list>
+  </rdf:Description>
+</rdf:RDF>""",
+      ("http://example/a", s"${EG}list", "_:c0"),
+      ("_:c0", s"${RDF}first", "http://example/m1"),
+      ("_:c0", s"${RDF}rest", s"${RDF}nil"),
+      ("http://example/m1", s"${EG}prop", s"<<http://example/s ${EG}p http://example/o>>"))
+  }
+
   test("trackPosition prefixes errors with line/column at other error sites too") {
     // duplicate rdf:ID — position points at the second occurrence
     val dup =

@@ -307,4 +307,38 @@ class StreamingSpec extends SparkSuite {
       assert(emitted == Set((3L, at(25), at(30), 2L)))
     } finally q.stop()
   }
+
+  test("streaming dedup within watermark: duplicates in-horizon drop, evicted keys re-emit") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val deduped = StreamingJoins.dedupWithinWatermark(
+      docs.toDF().toDF("fingerprint", "ts", "doc_id"),
+      keyCols = Seq("fingerprint"), watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      def emitted = spark.table("sdedup")
+        .select("fingerprint", "doc_id").as[(Long, Long)].collect().toSeq
+
+      // duplicates within one batch and across adjacent batches (all well
+      // inside the 10-min horizon) collapse to the first occurrence
+      docs.addData((1L, tsAt(0), 10L), (1L, tsAt(1), 11L), (2L, tsAt(0), 12L))
+      q.processAllAvailable()
+      docs.addData((1L, tsAt(5), 13L))
+      q.processAllAvailable()
+      assert(emitted.map(_._1).sorted == Seq(1L, 2L))
+      assert(emitted.toSet == Set((1L, 10L), (2L, 12L)))
+
+      // advance the watermark far past fingerprint 1's expiry (event time
+      // + delay), evicting its state ...
+      docs.addData((3L, tsAt(100), 14L))
+      q.processAllAvailable()
+      // ... so a re-occurrence after eviction re-emits: the horizon
+      // contract, not unbounded global history
+      docs.addData((1L, tsAt(95), 15L))
+      q.processAllAvailable()
+      assert(emitted.toSet == Set((1L, 10L), (2L, 12L), (3L, 14L), (1L, 15L)))
+    } finally q.stop()
+  }
 }
