@@ -77,7 +77,11 @@ object Dedup {
     * blocked by the shared-shingle inverted index (no O(n²) enumeration). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
                         maxShingleDf: Long = Linking.DefaultMaxShingleDf): DataFrame = {
+    // Same one-cut rule as Linking.jaccardEdges: the capped shingle frame
+    // is consumed THREE times (sizes + both self-join sides) — without the
+    // eager cut each consumer re-derives the explode + DF-cap anti-join.
     val sh = Linking.capShingleDf(wordShingleRows(docs, "doc_id", "text"), maxShingleDf)
+      .localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -144,8 +148,11 @@ object Dedup {
                         mask: Long = DefaultAnchorMask,
                         maxAnchorDf: Long = Linking.DefaultMaxShingleDf,
                         minShared: Long = 2L): DataFrame = {
+    // One cut: the anchor explode + distinct is consumed three times (the
+    // hot-set derivation and both self-join sides); the anti-join below is
+    // cheap against the checkpointed frame (AQE broadcasts the hot side).
     val perDoc = substringAnchorRows(docs.select(col("doc_id"), col("text")), k, mask)
-      .select("doc_id", "h").distinct()
+      .select("doc_id", "h").distinct().localCheckpoint(true)
     val hot = perDoc.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxAnchorDf).select("h")
     val capped = perDoc.join(hot, Seq("h"), "left_anti")
@@ -167,6 +174,7 @@ object Dedup {
                         mask: Long = DefaultAnchorMask,
                         maxAnchorDf: Long = Linking.DefaultMaxShingleDf): DataFrame = {
     val anchors = substringAnchorRows(docs.select(col("doc_id"), col("text")), k, mask)
+      .localCheckpoint(true) // consumed by the DF filter AND the back-join
     val shared = anchors.select("doc_id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxAnchorDf)

@@ -53,7 +53,14 @@ class PlanSpec extends SparkSuite {
   }
 
   test("shingle DF cap plans as an anti-join; no cartesian products anywhere in blocking") {
-    assert(plan(q("dedup_ngram_pairs")).contains("LeftAnti"))
+    // Pin the anti-join on the capped-shingle building block itself: inside
+    // ngramJaccardPairs it now sits behind the eager localCheckpoint cut
+    // (the thrice-consumed frame is materialized once), so the composed
+    // query's plan string no longer shows the pre-cut subplan.
+    val docs = Transcripts.documents(spark, sfDir).select("doc_id", "text")
+    val capped = Linking.capShingleDf(
+      graft.ops.Dedup.wordShingleRows(docs, "doc_id", "text"), Linking.DefaultMaxShingleDf)
+    assert(plan(capped).contains("LeftAnti"))
     // every blocking/candidate path must be an equi-join shape — a
     // CartesianProduct here is the O(n²) plan the whole design avoids
     Seq("dedup_ngram_pairs", "dedup_minhash", "dedup_simhash", "dedup_substring",
