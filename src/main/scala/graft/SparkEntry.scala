@@ -177,6 +177,8 @@ object SparkEntry {
     }),
     "sim_ivf_topk" -> ((s, dir) =>
       graft.ops.Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
+    "sim_pq_codes" -> ((s, dir) =>
+      graft.ops.Similarity.pqCodes(s.read.parquet(s"$dir/embeddings.parquet"), dim = 64)),
     // scale-path near-dup pairs: LSH bucket blocking + exact-cosine verify
     // over the FULL table (vs sim_neardup's bounded-cartesian exact tool)
     "sim_lsh_neardup" -> ((s, dir) =>
@@ -196,6 +198,8 @@ object SparkEntry {
       graft.ops.TextAnalysis.rollingFingerprints(s.read.parquet(s"$dir/documents.parquet"))),
     "text_repetition" -> ((s, dir) =>
       graft.ops.TextAnalysis.repetitionStats(s.read.parquet(s"$dir/documents.parquet"))),
+    "text_tfdf" -> ((s, dir) =>
+      graft.ops.TextAnalysis.termStats(s.read.parquet(s"$dir/documents.parquet"))),
     // keep cast to int on both engines: driver hash parity over booleans is
     // unproven territory; 0/1 is not.
     "text_filter" -> ((s, dir) =>
@@ -899,6 +903,29 @@ asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTIT
 qp AS (SELECT vec_id AS q, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell DESC) AS rn FROM score WHERE vec_id < 16) t WHERE rn <= 4),
 cand AS (SELECT DISTINCT qp.q, a.vec_id AS neighbor FROM asg a JOIN qp ON a.cell = qp.cell WHERE a.vec_id <> qp.q)${annRankSql(5)}""",
 
+    // PQ assignment replayed exactly: same codebook convention (16 lowest
+    // vec_ids), same left-to-right squared-diff double fold as the Spark
+    // zip_with/aggregate chain, ties -> smallest centroid index.
+    "sim_pq_codes" ->
+      """WITH cb AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) t
+), sp AS (SELECT unnest(range(0, 4)) AS s),
+cbsub AS (
+  SELECT j, CAST(sp.s AS INTEGER) AS subspace, cb.embedding[sp.s*16+1 : sp.s*16+16] AS csub
+  FROM cb, sp
+), vsub AS (
+  SELECT vec_id, CAST(sp.s AS INTEGER) AS subspace, e.embedding[sp.s*16+1 : sp.s*16+16] AS vsub
+  FROM embeddings e, sp
+), scored AS (
+  SELECT vec_id, subspace, j,
+    list_reduce(list_transform(list_zip(vsub, csub), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (s, v) -> s + v) AS d
+  FROM vsub JOIN cbsub USING (subspace)
+)
+SELECT vec_id, subspace, j AS code
+FROM (SELECT vec_id, subspace, j, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d, j) AS rn FROM scored) t
+WHERE rn = 1""",
+
     "text_quality" ->
       """SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars,
 CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -926,6 +953,18 @@ FROM s""",
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
 CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS bpeish_tokens
 FROM documents""",
+
+    // DuckDB SUM(BIGINT) widens to HUGEINT — cast back to the BIGINT the
+    // Spark sum(long) emits. string_split/unnest over NULL text yields no
+    // rows on both engines (explode of a null array likewise).
+    "text_tfdf" ->
+      """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), per AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+)
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
+FROM per GROUP BY 1 HAVING COUNT(*) >= 5""",
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents""",

@@ -249,6 +249,50 @@ object Similarity {
       .dropDuplicates("a", "b")
   }
 
+  /** Product-quantization codes — the vector-compression primitive under
+    * disk-resident ANN at corpus scale (a 64-dim float vector becomes `m`
+    * small ints; IVF-PQ is this composed with [[ivfTopK]]'s cell
+    * assignment). The embedding is split into `m` contiguous subspaces;
+    * each subvector is assigned the index of its nearest (squared-L2)
+    * centroid in that subspace's codebook. Codebook = the subvectors of
+    * the `k` lowest vec_ids (data-independent deterministic choice, same
+    * convention as [[ivfTopK]]'s codebook — a k-means refinement would
+    * slot in without changing the plan shape).
+    *
+    * Output is EXPLODED (vec_id, subspace, code) integer rows so the
+    * driver hash never sees a float. Scale shape: the codebook is m·k
+    * broadcast rows; the vector side is a narrow m-way explode; the
+    * assignment join is broadcast (no exchange on the corpus side); and
+    * the (vec_id, subspace) argmin collapses COMPLETELY in the map-side
+    * partial `min` (all k candidate rows of a group are produced in the
+    * same task by the broadcast join), so the one exchange carries n·m
+    * tiny rows. Distances are the same left-to-right double fold as
+    * [[dot]], so the DuckDB oracle replays the argmin bit-exactly; ties
+    * break to the smallest centroid index via lexicographic struct min. */
+  def pqCodes(embeddings: DataFrame, m: Int = 4, k: Int = 16, dim: Int = 0): DataFrame = {
+    val d = embeddingDim(embeddings, dim)
+    require(d > 0 && d % m == 0, s"embedding dim $d not divisible into $m subspaces")
+    val sub = d / m
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    def subSlices(c: Column) = array((0 until m).map(s => slice(c, s * sub + 1, sub)): _*)
+    // Bounded global window: limit(k) rows only (see ivfTopK's codebook).
+    val w0 = Window.orderBy("vec_id")
+    val codebook = e.orderBy("vec_id").limit(k)
+      .select((row_number().over(w0) - 1).cast("int").as("j"), col("embedding"))
+      .select(col("j"), posexplode(subSlices(col("embedding"))).as(Seq("subspace", "csub")))
+    val vsubs = e.select(col("vec_id"),
+      posexplode(subSlices(col("embedding"))).as(Seq("subspace", "vsub")))
+    val dist = aggregate(
+      zip_with(col("vsub"), col("csub"),
+        (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    vsubs.join(broadcast(codebook), Seq("subspace"))
+      .select(col("vec_id"), col("subspace"), struct(dist.as("d"), col("j").as("j")).as("dj"))
+      .groupBy("vec_id", "subspace")
+      .agg(min(col("dj")).as("best"))
+      .select(col("vec_id"), col("subspace"), col("best.j").as("code"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, brute force over
     * the (bounded) id range. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double, maxId: Long): DataFrame = {

@@ -148,4 +148,25 @@ object TextAnalysis {
       graft.functions.GraftFunctions
         .fnv1a64(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp64"),
     )
+
+  /** Corpus term statistics — the inverted-index aggregate under TF-IDF /
+    * BM25 scoring and vocabulary pruning: per term, document frequency and
+    * total term frequency, thresholded at `minDf` (a singleton-term tail is
+    * noise for scoring and dominated by typos at corpus scale).
+    *
+    * Scale shape: the (term, doc_id) explode is the classic inverted-index
+    * shuffle, but both aggregations are sum/count — associative with
+    * map-side partial aggregation — so stopword skew ("the" appearing in
+    * every document) concentrates COUNTS, not rows: each map task
+    * pre-collapses its local (term, doc_id) pairs, and the term-keyed
+    * reduce sees one partial row per (task, hot term), not the raw
+    * postings. No cap is needed for the same reason — output cardinality
+    * is the vocabulary, not the postings list. Integer-only output so the
+    * driver hash is float-free; scoring (idf = ln(N/df) etc.) stays a
+    * downstream map over this table. */
+  def termStats(docs: DataFrame, minDf: Long = 5L): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
+      .filter(col("df") >= minDf)
 }

@@ -459,6 +459,32 @@ class OpsSpec extends SparkSuite {
     assert(e.getMessage.contains("pay"))
   }
 
+  test("term stats: df/tf against hand counts; null-text docs contribute nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a"),
+      (2L, "a c"),
+      (3L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.termStats(docs, minDf = 2L)
+      .as[(String, Long, Long)].collect().toSet
+    // "a": df 2 (docs 1, 2), tf 3; "b"/"c" are singletons below the cut
+    assert(got == Set(("a", 2L, 3L)))
+  }
+
+  test("pq codes: codebook vectors self-assign; every code in range; m codes per vector") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val codes = Similarity.pqCodes(emb, m = 4, k = 16, dim = 64).cache()
+    val n = emb.count()
+    assert(codes.count() == n * 4)
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).count() == 0)
+    // a codebook vector's subvectors are distance-0 from themselves, and
+    // ties break to the smallest index — vec j must code as (j, j, j, j)
+    assert(codes.filter(col("vec_id") < 16)
+      .filter(col("code") =!= col("vec_id").cast("int")).count() == 0)
+    codes.unpersist()
+  }
+
   test("as-of join plans as one key exchange — no join operator, no row amplification") {
     val e = spark.read.parquet(s"$sfDir/events.parquet")
     val clicks = e.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
