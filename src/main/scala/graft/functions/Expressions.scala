@@ -232,6 +232,27 @@ object ExprHelpers {
     s
   }
 
+  /** Left-to-right squared-L2 distance, same fold discipline (and null
+    * semantics) as [[dotF64]]: bit-identical to
+    * `aggregate(zip_with(a, b, (x, y) => (x-y)*(x-y) in double), 0.0, _ + _)`
+    * and to the DuckDB `list_reduce(list_transform(list_zip(a, b), …))`
+    * mirror — the distance kernel of the PQ assignment loop, which runs
+    * n·m·k times and must stay inside whole-stage codegen (the HOF chain is
+    * CodegenFallback and would exile the whole scoring projection). */
+  def sqL2F64(a: ArrayData, b: ArrayData, aKind: Int, bKind: Int): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = elem(a, i, aKind) - elem(b, i, bKind)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   @inline private def elem(arr: ArrayData, i: Int, kind: Int): Double = kind match {
     case KindDouble => arr.getDouble(i)
     case KindFloat => arr.getFloat(i).toDouble
@@ -395,6 +416,46 @@ case class DotF64(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = l, right = r)
 }
 
+/** `sq_l2_f64(a, b)` → double squared-L2 distance (see
+  * [[ExprHelpers.sqL2F64]]); DotF64's sibling with the identical type
+  * admission, null semantics, and fold order. */
+case class SqL2F64(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private def kindOf(e: Expression): Int = e.dataType match {
+    case ArrayType(DoubleType, _) => ExprHelpers.KindDouble
+    case ArrayType(FloatType, _) => ExprHelpers.KindFloat
+    case ArrayType(LongType, _) => ExprHelpers.KindLong
+    case ArrayType(IntegerType, _) => ExprHelpers.KindInt
+    case ArrayType(ShortType, _) => ExprHelpers.KindShort
+    case ArrayType(ByteType, _) => ExprHelpers.KindByte
+    case _ => -1
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = kindOf(e) >= 0 || e.dataType == org.apache.spark.sql.types.NullType
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sq_l2_f64 requires numeric array inputs, got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  @transient private lazy val aKind = kindOf(left)
+  @transient private lazy val bKind = kindOf(right)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.sqL2F64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aKind, bKind)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("sql2Res")
+      s"""
+         |java.lang.Double $r = graft.functions.ExprHelpers.sqL2F64($a, $b, $aKind, $bKind);
+         |${ev.isNull} = $r == null;
+         |${ev.value} = ${ev.isNull} ? -1.0 : $r.doubleValue();
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqL2F64 =
+    copy(left = l, right = r)
+}
+
 /** `resolve_iri(value, base)` — reference R20 as a relational scalar
   * (reference `valueToUri`, `lib/RdfXmlParser.ts:161-163`). Null (not error)
   * on unresolvable input. */
@@ -422,6 +483,7 @@ object GraftFunctions {
   def minhash_sig(c: Column): Column = column(MinHashSig(expression(c)))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def dot_f64(a: Column, b: Column): Column = column(DotF64(expression(a), expression(b)))
+  def sq_l2_f64(a: Column, b: Column): Column = column(SqL2F64(expression(a), expression(b)))
   def word_shingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
   def char_shingles(c: Column, n: Int): Column = column(CharShingles(expression(c), n))
   def word_gram_hashes(c: Column, n: Int): Column = column(WordGramHashes(expression(c), n))
@@ -436,6 +498,7 @@ object GraftFunctions {
     registerTemp(spark, "minhash_sig", es => MinHashSig(es.head))
     registerTemp(spark, "simhash64", es => SimHash64(es.head))
     registerTemp(spark, "dot_f64", es => DotF64(es.head, es(1)))
+    registerTemp(spark, "sq_l2_f64", es => SqL2F64(es.head, es(1)))
     registerTemp(spark, "resolve_iri", es => ResolveIri(es.head, es(1)))
     registerTemp(spark, "word_shingles", es => WordShingles(es.head, litInt(es(1), "word_shingles")))
     registerTemp(spark, "char_shingles", es => CharShingles(es.head, litInt(es(1), "char_shingles")))
@@ -468,6 +531,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"), es => SimHash64(es.head)))
     e.injectFunction((FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"), es => DotF64(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("sq_l2_f64"),
+      new ExpressionInfo(classOf[SqL2F64].getName, "sq_l2_f64"), es => SqL2F64(es.head, es(1))))
     e.injectFunction((FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       es => WordShingles(es.head, GraftFunctions.litInt(es(1), "word_shingles"))))

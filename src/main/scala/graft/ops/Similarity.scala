@@ -23,6 +23,17 @@ object Similarity {
   def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
 
+  /** Squared-L2 distance, native codegen (graft.functions.SqL2F64);
+    * [[sqL2Fold]] is the defining Catalyst chain kept as the cross-check. */
+  def sqL2(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.sq_l2_f64(a, b)
+
+  /** The fold [[sqL2]] is defined by (the DuckDB oracles mirror it). */
+  def sqL2Fold(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -271,9 +282,14 @@ object Similarity {
     * break to the smallest centroid index via lexicographic struct min. */
   def pqCodes(embeddings: DataFrame, m: Int = 4, k: Int = 16, dim: Int = 0): DataFrame = {
     val d = embeddingDim(embeddings, dim)
-    require(d > 0 && d % m == 0, s"embedding dim $d not divisible into $m subspaces")
-    val sub = d / m
     val e = embeddings.select(col("vec_id"), col("embedding"))
+    // Same empty-table contract as hyperplaneBuckets: dim 0 means an empty
+    // (or fully-filtered) table — emit the empty code frame, don't crash.
+    if (d == 0)
+      return e.select(col("vec_id"), lit(0).as("subspace"), lit(0).as("code"))
+        .filter(lit(false))
+    require(d % m == 0, s"embedding dim $d not divisible into $m subspaces")
+    val sub = d / m
     def subSlices(c: Column) = array((0 until m).map(s => slice(c, s * sub + 1, sub)): _*)
     // Bounded global window: limit(k) rows only (see ivfTopK's codebook).
     val w0 = Window.orderBy("vec_id")
@@ -282,10 +298,11 @@ object Similarity {
       .select(col("j"), posexplode(subSlices(col("embedding"))).as(Seq("subspace", "csub")))
     val vsubs = e.select(col("vec_id"),
       posexplode(subSlices(col("embedding"))).as(Seq("subspace", "vsub")))
-    val dist = aggregate(
-      zip_with(col("vsub"), col("csub"),
-        (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
+    // Native codegen fold (graft.functions.SqL2F64) — the scoring
+    // projection runs n·m·k times and the defining aggregate(zip_with(…))
+    // chain is CodegenFallback, which would exile the whole stage from
+    // codegen; ExpressionFuzzSpec pins bit-equality of the two forms.
+    val dist = graft.functions.GraftFunctions.sq_l2_f64(col("vsub"), col("csub"))
     vsubs.join(broadcast(codebook), Seq("subspace"))
       .select(col("vec_id"), col("subspace"), struct(dist.as("d"), col("j").as("j")).as("dj"))
       .groupBy("vec_id", "subspace")

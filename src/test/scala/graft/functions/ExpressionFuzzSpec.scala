@@ -124,6 +124,21 @@ class ExpressionFuzzSpec extends SparkSuite {
     }
   }
 
+  test("property: sq_l2_f64 == aggregate(zip_with) fold on random float vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1), Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "a", "b")
+    val rows = vecs.select(
+      Similarity.sqL2(col("a"), col("b")).as("native"),
+      Similarity.sqL2Fold(col("a"), col("b")).as("fold"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, f) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) == java.lang.Double.doubleToRawLongBits(f))
+    }
+  }
+
   test("property: repetitionStats fold == plain-Scala mirror on adversarial text") {
     import spark.implicits._
     // Plain-Scala mirror of the documented semantics (split keeps empty

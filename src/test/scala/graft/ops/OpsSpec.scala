@@ -483,6 +483,8 @@ class OpsSpec extends SparkSuite {
     assert(codes.filter(col("vec_id") < 16)
       .filter(col("code") =!= col("vec_id").cast("int")).count() == 0)
     codes.unpersist()
+    // empty-table contract (same as hyperplaneBuckets): empty frame, no crash
+    assert(Similarity.pqCodes(emb.filter(col("vec_id") < 0)).count() == 0)
   }
 
   test("as-of join plans as one key exchange — no join operator, no row amplification") {

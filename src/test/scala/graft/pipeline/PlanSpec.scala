@@ -61,6 +61,11 @@ class PlanSpec extends SparkSuite {
     val capped = Linking.capShingleDf(
       graft.ops.Dedup.wordShingleRows(docs, "doc_id", "text"), Linking.DefaultMaxShingleDf)
     assert(plan(capped).contains("LeftAnti"))
+    assert(!plan(capped).contains("CartesianProduct"))
+    // the substring ops' pre-cut frames are narrow projections — any Join
+    // appearing there would mean the shape regressed
+    val anchors = graft.ops.Dedup.substringAnchorRows(docs, 8, 3L)
+    assert(!plan(anchors).contains("Join"), plan(anchors))
     // every blocking/candidate path must be an equi-join shape — a
     // CartesianProduct here is the O(n²) plan the whole design avoids
     Seq("dedup_ngram_pairs", "dedup_minhash", "dedup_simhash", "dedup_substring",
