@@ -133,6 +133,24 @@ object SparkEntry {
     "kg_pagerank" -> ((s, dir) =>
       graft.ops.GraphAnalytics.pageRank(ParseStage.parsedTranscripts(s, dir).toDF())),
 
+    // multi-source BFS hop distances: seeds = the rdf:type Document nodes,
+    // frontier iteration with visited anti-join (all-integer, hash-gateable)
+    "kg_bfs" -> ((s, dir) => {
+      val triples = ParseStage.parsedTranscripts(s, dir).toDF()
+      val seeds = triples
+        .filter(col("error").isNull &&
+          col("pred") === s"<${RdfNs}type>" && col("obj") === s"<${Voc}Document>")
+        .select(col("subj").as("node"))
+      graft.ops.GraphAnalytics.bfsDistances(
+        graft.ops.GraphAnalytics.nodeEdges(triples), seeds, maxHops = 3)
+    }),
+
+    // entity co-occurrence edge weights within conversations (the
+    // KG-construction pair signal; celebrity-capped per conversation)
+    "kg_cooccur" -> ((s, dir) =>
+      graft.ops.GraphAnalytics.cooccurrence(
+        Ner.mentions(Transcripts.transcripts(s, dir)))),
+
     // ---------------- dedup / similarity / text analysis (documents table)
 
     "dedup_exact" -> ((s, dir) =>
@@ -146,6 +164,9 @@ object SparkEntry {
     // with the exact paths on controlled duplicates
     "dedup_minhash" -> ((s, dir) =>
       graft.ops.Dedup.minhashClusters(s.read.parquet(s"$dir/documents.parquet"))),
+    // the deduplicated corpus itself: cluster representatives + singletons
+    "dedup_survivors" -> ((s, dir) =>
+      graft.ops.Dedup.survivors(s.read.parquet(s"$dir/documents.parquet"))),
     "dedup_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"))),
     // exact substring duplication: sampled k-token-gram anchors, DF-capped,
@@ -400,6 +421,23 @@ object SparkEntry {
         percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price,
         COUNT(DISTINCT l_partkey) AS n_parts
         FROM parquet.`$dir/lineitem.parquet` GROUP BY l_returnflag""")),
+
+    // CDC upsert merge: snapshot + two versioned delta batches (upserts,
+    // delete tombstones, and a version-2 resurrection of version-1-deleted
+    // keys), folded latest-wins in one window shuffle (ops.Merge).
+    "q_merge" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val snapshot = orders.select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
+      val keys = orders.select(col("o_orderkey").as("k"))
+      val delta =
+        keys.filter(col("k") % 7 === 3)
+          .select(col("k"), lit("U1").as("v"), lit(1L).as("ver"), lit("U").as("op"))
+        .unionByName(keys.filter(col("k") % 7 === 5)
+          .select(col("k"), lit(null).cast("string").as("v"), lit(1L).as("ver"), lit("D").as("op")))
+        .unionByName(keys.filter(col("k") % 11 === 4)
+          .select(col("k"), lit("U2").as("v"), lit(2L).as("ver"), lit("U").as("op")))
+      graft.ops.Merge.upsertMerge(snapshot, delta, Seq("k"))
+    }),
   )
 
   /** Per-JVM scratch root for sink→source round-trip queries: unique per
@@ -489,6 +527,44 @@ r$i AS (SELECT n.node, $base + (85 * COALESCE(c.contrib, 0)) // 100 AS rank_fp
         FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""")
     }
     sb.append(s" SELECT node, rank_fp FROM r$iterations")
+    sb.toString
+  }
+
+  /** MinHash-LSH dedup clusters in SQL: word-5-gram shingles → bit-exact
+    * signature chain → md5 band keys → per-bucket STAR edges (same
+    * components as the bucket clique — mirrors Dedup.minhashClusters) →
+    * recursive-CTE connected components with lexicographic-min
+    * representative. Shared by dedup_minhash and dedup_survivors. */
+  private def minhashClustersSql: String =
+    s"""WITH RECURSIVE w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], ' ') for i in generate_series(1, greatest(len(w)-4, 0))])) AS shingle FROM w)${minhashChain("doc_id")}${lshBandsCte("doc_id")},
+hubs AS (SELECT band, bkey, MIN(doc_id) AS hub FROM bands GROUP BY band, bkey),
+star AS (SELECT DISTINCT h.hub AS a, b.doc_id AS b
+         FROM bands b JOIN hubs h ON b.band = h.band AND b.bkey = h.bkey
+         WHERE b.doc_id <> h.hub),
+sym AS (SELECT a AS u, b AS v FROM star UNION SELECT b, a FROM star UNION SELECT a, a FROM star UNION SELECT b, b FROM star),
+reach(u, v) AS (SELECT u, v FROM sym UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u"""
+
+  /** DuckDB mirror of `GraphAnalytics.bfsDistances`: the Bellman-Ford
+    * recurrence unrolled to `maxHops` chained CTEs. After k rounds a node
+    * holds min-over-paths-of-length-≤-k — identical to the Spark side's
+    * frontier BFS for every node within `maxHops` of a seed, and absent
+    * otherwise. Seeds are the rdf:type Document nodes. */
+  private def bfsSql(maxHops: Int): String = {
+    val sb = new StringBuilder(graphEdgesCte)
+    sb.append(s""",
+seeds AS (SELECT DISTINCT subj AS node FROM expected
+          WHERE pred = '<${RdfNs}type>' AND obj = '<${Voc}Document>'),
+b0 AS (SELECT node, CAST(0 AS INTEGER) AS dist FROM seeds)""")
+    for (i <- 1 to maxHops) {
+      sb.append(s""",
+b$i AS (SELECT node, MIN(dist) AS dist FROM (
+  SELECT node, dist FROM b${i - 1}
+  UNION ALL SELECT e.dst, b.dist + 1 FROM edges e JOIN b${i - 1} b ON e.src = b.node
+) t GROUP BY node)""")
+    }
+    sb.append(s" SELECT node, dist FROM b$maxHops")
     sb.toString
   }
 
@@ -768,6 +844,18 @@ GROUP BY e1.src""",
     "kg_triangles" ->
       s"$mentionCtes SELECT COUNT(*) AS n_triangles FROM edges e1 JOIN edges e2 ON e2.a = e1.b JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b",
     "kg_pagerank" -> pageRankSql(iterations = 3, scale = 1000000000L),
+    "kg_bfs" -> bfsSql(maxHops = 3),
+    // co-occurrence over DISTINCT (conv, mention); `occ` comes from
+    // mentionCtes. 256 mirrors GraphAnalytics.cooccurrence's default cap
+    // (no sf's conversations exceed it, so it is exercised only in specs).
+    "kg_cooccur" ->
+      s"""$mentionCtes,
+cm AS (SELECT DISTINCT conv_id, mention FROM occ),
+okc AS (SELECT conv_id FROM cm GROUP BY conv_id HAVING COUNT(*) <= 256),
+cmm AS (SELECT cm.conv_id, cm.mention FROM cm JOIN okc USING (conv_id))
+SELECT x.mention AS a, y.mention AS b, COUNT(*) AS n_convs
+FROM cmm x JOIN cmm y ON x.conv_id = y.conv_id AND x.mention < y.mention
+GROUP BY 1, 2""",
 
     // ---------------- dedup / text ops
 
@@ -842,20 +930,15 @@ m AS (SELECT DISTINCT gh.doc_id, gh.u FROM gh JOIN e USING (u) WHERE gh.doc_id %
 kp AS (SELECT u FROM m GROUP BY u HAVING COUNT(*) <= ${graft.pipeline.Linking.DefaultMaxShingleDf})
 SELECT m.doc_id, COUNT(*) AS n_shared_grams FROM m JOIN kp USING (u) GROUP BY 1""",
 
-    // MinHash-LSH dedup clusters: word-5-gram shingles → bit-exact signature
-    // chain → md5 band keys → per-bucket STAR edges (same components as the
-    // bucket clique — mirrors Dedup.minhashClusters) → recursive-CTE
-    // connected components with lexicographic-min representative.
-    "dedup_minhash" ->
-      s"""WITH RECURSIVE w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], ' ') for i in generate_series(1, greatest(len(w)-4, 0))])) AS shingle FROM w)${minhashChain("doc_id")}${lshBandsCte("doc_id")},
-hubs AS (SELECT band, bkey, MIN(doc_id) AS hub FROM bands GROUP BY band, bkey),
-star AS (SELECT DISTINCT h.hub AS a, b.doc_id AS b
-         FROM bands b JOIN hubs h ON b.band = h.band AND b.bkey = h.bkey
-         WHERE b.doc_id <> h.hub),
-sym AS (SELECT a AS u, b AS v FROM star UNION SELECT b, a FROM star UNION SELECT a, a FROM star UNION SELECT b, b FROM star),
-reach(u, v) AS (SELECT u, v FROM sym UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
-SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u""",
+    "dedup_minhash" -> minhashClustersSql,
+
+    // the deduplicated corpus: everything except non-representative cluster
+    // members (representative = cluster label = min doc_id). NOT IN is
+    // NULL-safe here: the cluster subquery's doc_id is never NULL.
+    "dedup_survivors" ->
+      s"""SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+WHERE CAST(doc_id AS VARCHAR) NOT IN
+  (SELECT doc_id FROM ($minhashClustersSql) c WHERE doc_id <> cluster)""",
 
     "sim_topk" -> simTopkSql,
 
@@ -1128,5 +1211,17 @@ MIN(CASE WHEN cd_q >= 0.5 THEN l_quantity END) AS p50_qty,
 MIN(CASE WHEN cd_p >= 0.9 THEN l_extendedprice END) AS p90_price,
 COUNT(DISTINCT l_partkey) AS n_parts
 FROM r GROUP BY 1""",
+
+    // CDC upsert merge, latest version wins, tombstones drop the key,
+    // version-2 upserts resurrect version-1-deleted keys
+    "q_merge" ->
+      """WITH u AS (
+  SELECT o_orderkey AS k, o_orderstatus AS v, CAST(0 AS BIGINT) AS ver, 'U' AS op FROM orders
+  UNION ALL SELECT o_orderkey, 'U1', CAST(1 AS BIGINT), 'U' FROM orders WHERE o_orderkey % 7 = 3
+  UNION ALL SELECT o_orderkey, CAST(NULL AS VARCHAR), CAST(1 AS BIGINT), 'D' FROM orders WHERE o_orderkey % 7 = 5
+  UNION ALL SELECT o_orderkey, 'U2', CAST(2 AS BIGINT), 'U' FROM orders WHERE o_orderkey % 11 = 4
+),
+r AS (SELECT k, v, ver, op, row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn FROM u)
+SELECT k, v, ver FROM r WHERE rn = 1 AND op = 'U'""",
   )
 }

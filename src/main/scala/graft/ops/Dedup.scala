@@ -122,6 +122,25 @@ object Dedup {
       .select(col("node").as("doc_id"), col("component").as("cluster"))
   }
 
+  /** The deduplicated corpus — what a training pipeline actually ships:
+    * every document that is NOT a non-representative member of a MinHash
+    * near-dup cluster. Per cluster exactly the representative (the min
+    * doc_id, which IS the cluster label) survives; documents in no
+    * cluster survive untouched.
+    *
+    * Scale shape: the drop set is the clustered minority (near-dups are a
+    * small fraction of a real corpus), so the anti-join's build side is
+    * tiny relative to the table — AQE turns it into a broadcast anti-join
+    * and the full corpus is never shuffled. The expensive part is
+    * [[minhashClusters]], whose per-stage bounds are documented there. */
+  def survivors(docs: DataFrame): DataFrame = {
+    val dropped = minhashClusters(docs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    docs.select(col("doc_id").cast("string").as("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Default anchor sampling mask for [[substringDupPairs]]: keep gram
     * positions whose hash has the low `bits` clear — a 1-in-2^bits
     * content-defined sample (winnowing-style: both documents sample the

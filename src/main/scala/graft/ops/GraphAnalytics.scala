@@ -80,6 +80,66 @@ object GraphAnalytics {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Multi-source BFS hop distances over directed edges, exact up to
+    * `maxHops`: every seed is at distance 0; a node's distance is the
+    * length of the shortest directed path from any seed. Output is
+    * (node, dist) for exactly the nodes reachable within `maxHops` —
+    * all-integer, deterministic under any partitioning, hence
+    * driver-hash-gateable.
+    *
+    * Shape is the standard frontier BFS (the Pregel formulation): each
+    * iteration joins only the NEWLY settled frontier against the edge
+    * list, then anti-joins the visited set so a node is settled exactly
+    * once at its true distance. At 100 TB the frontier is the working
+    * set — typically a small fraction of |V| per hop — and the visited
+    * anti-join is an equi-join on the node key, so each iteration is two
+    * key shuffles over frontier-sized inputs, never |V|×|E|. Lineage is
+    * cut per iteration with an eager localCheckpoint (the pageRank
+    * lesson: without it the plan doubles per hop). */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3): DataFrame = {
+    val e = edges.localCheckpoint(true) // consumed once per hop
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0).cast("int"))
+      .localCheckpoint(true)
+    var frontier = dist.select("node")
+    for (i <- 1 to maxHops) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(i).cast("int"))
+        .localCheckpoint(true)
+      dist = dist.union(next).localCheckpoint(true)
+      frontier = next.select("node")
+    }
+    dist
+  }
+
+  /** Entity co-occurrence edge weights: for every unordered mention pair,
+    * the number of grouping units (conversations) where both occur — the
+    * classic KG-construction signal for weighting candidate entity-entity
+    * edges before link scoring.
+    *
+    * Scale shape: occurrences collapse to DISTINCT (group, mention) first
+    * (bounding the self-join input by group cardinality, not raw
+    * occurrence count), and groups with more than `maxPerGroup` distinct
+    * mentions are excluded outright — the celebrity cut for pair
+    * explosion; a 10⁵-mention mega-thread would otherwise contribute
+    * 10¹⁰ pairs on its own. With the cut, join output is bounded by
+    * |groups| × maxPerGroup². The distinct, the cap aggregate, and both
+    * join sides share the group key, so the exchange is reused. The `<`
+    * canonical order makes each pair counted once per group. */
+  def cooccurrence(mentionOcc: DataFrame, maxPerGroup: Int = 256): DataFrame = {
+    val m = mentionOcc.select("conv_id", "mention").distinct()
+    val ok = m.groupBy("conv_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxPerGroup)
+      .select("conv_id")
+    val mm = m.join(ok, "conv_id")
+    mm.as("x").join(mm.as("y"),
+        col("x.conv_id") === col("y.conv_id") && col("x.mention") < col("y.mention"))
+      .groupBy(col("x.mention").as("a"), col("y.mention").as("b"))
+      .agg(count(lit(1)).as("n_convs"))
+  }
+
   /** Fixed-point integer PageRank: every node starts with `scale` units of
     * rank mass; each iteration a node keeps 15% of `scale` as teleport base
     * and receives 85% of the summed integer contributions

@@ -82,6 +82,44 @@ class GraphAnalyticsSpec extends SparkSuite {
     assert(rs.values.sum <= 5L * 1000000000L)
   }
 
+  test("bfsDistances: shortest hop wins, visited nodes never resettle, maxHops truncates") {
+    import spark.implicits._
+    // diamond with a shortcut: s→a→b→c and s→c directly; plus unreachable z←y
+    val edges = Seq(("s", "a"), ("a", "b"), ("b", "c"), ("s", "c"), ("y", "z"))
+      .toDF("src", "dst")
+    val seeds = Seq("s").toDF("node")
+    val d3 = GraphAnalytics.bfsDistances(edges, seeds, maxHops = 3)
+      .as[(String, Int)].collect().toMap
+    // c is reachable at hop 1 (direct) and hop 3 (via a,b) — shortest wins
+    assert(d3 == Map("s" -> 0, "a" -> 1, "c" -> 1, "b" -> 2))
+    // maxHops = 1 drops b entirely
+    val d1 = GraphAnalytics.bfsDistances(edges, seeds, maxHops = 1)
+      .as[(String, Int)].collect().toMap
+    assert(d1 == Map("s" -> 0, "a" -> 1, "c" -> 1))
+    // two seeds: each node takes the min over seeds; a seed at distance>0
+    // from the other seed still reports 0
+    val d2 = GraphAnalytics.bfsDistances(edges, Seq("s", "b").toDF("node"), maxHops = 2)
+      .as[(String, Int)].collect().toMap
+    assert(d2 == Map("s" -> 0, "b" -> 0, "a" -> 1, "c" -> 1))
+  }
+
+  test("cooccurrence: counts conversations not occurrences, canonical a<b, celebrity cap drops mega-threads") {
+    import spark.implicits._
+    val occ = Seq(
+      // conv1: A twice (collapses), B once → one (A,B) pair
+      ("c1", "A"), ("c1", "A"), ("c1", "B"),
+      // conv2: A and B again, plus C → (A,B) twice overall, (A,C), (B,C)
+      ("c2", "A"), ("c2", "B"), ("c2", "C"),
+    ).toDF("conv_id", "mention")
+    val pairs = GraphAnalytics.cooccurrence(occ)
+      .as[(String, String, Long)].collect().toSet
+    assert(pairs == Set(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L)))
+    // cap 2: conv2 has 3 distinct mentions → excluded, only conv1's pair left
+    val capped = GraphAnalytics.cooccurrence(occ, maxPerGroup = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(capped == Set(("A", "B", 1L)))
+  }
+
   test("graph analytics over the parsed sf0.001 KG: histogram reconciles with adjacency, pagerank covers every linked node") {
     import graft.pipeline.ParseStage
     val triples = ParseStage.parsedTranscripts(spark, sfDir).toDF()

@@ -25,6 +25,28 @@ class OpsSpec extends SparkSuite {
     assert(exact.nonEmpty, "controlled duplicates should produce exact pairs")
   }
 
+  test("survivors: exactly one representative per cluster plus all singletons; count reconciles") {
+    import spark.implicits._
+    val base = docs.limit(20).select(col("doc_id"), col("text"))
+    val dups = base.select(col("doc_id") + 10000, concat(col("text"), lit(" tail")).as("text"))
+      .toDF("doc_id", "text")
+    val corpus = base.unionAll(dups)
+    val kept = Dedup.survivors(corpus).as[String].collect().toSet
+    val clusters = Dedup.minhashClusters(corpus).as[(String, String)].collect()
+    // per cluster exactly the representative (= the cluster label) survives
+    clusters.groupBy(_._2).foreach { case (rep, members) =>
+      assert(kept.contains(rep), s"representative $rep dropped")
+      members.map(_._1).filterNot(_ == rep).foreach { m =>
+        assert(!kept.contains(m), s"non-representative $m survived")
+      }
+    }
+    // singletons (docs in no cluster) all survive; totals reconcile
+    val clustered = clusters.map(_._1).toSet
+    val all = corpus.select(col("doc_id").cast("string")).as[String].collect().toSet
+    assert((all -- clustered).subsetOf(kept))
+    assert(kept.size == all.size - clusters.count { case (d, rep) => d != rep })
+  }
+
   test("simhash: identical docs collide, mutated docs stay within small hamming") {
     import spark.implicits._
     val base = docs.limit(10).select(col("doc_id"), col("text"))
