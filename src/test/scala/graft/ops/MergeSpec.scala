@@ -52,5 +52,12 @@ class MergeSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected exactly one key exchange, plan:\n$plan")
+    // row_number()=1 is recognized as a group-top-1: Spark plans a PARTIAL
+    // WindowGroupLimit below the exchange, so per key only the best row per
+    // map partition is shuffled — the property that keeps the merge cheap
+    // when the delta replays many versions of a hot key
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit, plan:\n$plan")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined,
+      s"expected a map-side partial WindowGroupLimit, plan:\n$plan")
   }
 }
