@@ -93,25 +93,36 @@ object GraphAnalytics {
     * once at its true distance. At 100 TB the frontier is the working
     * set — typically a small fraction of |V| per hop — and the visited
     * anti-join is an equi-join on the node key, so each iteration is two
-    * key shuffles over frontier-sized inputs, never |V|×|E|. Lineage is
-    * cut per iteration with an eager localCheckpoint (the pageRank
-    * lesson: without it the plan doubles per hop). */
+    * key shuffles over frontier-sized inputs, never |V|×|E|.
+    *
+    * Only each hop's NEW frontier is eagerly checkpointed (the pageRank
+    * lineage lesson); the settled set is a union of those already-
+    * materialized pieces, so the accumulated distances are never
+    * re-materialized per hop. An empty frontier ends the loop early —
+    * the Pregel convergence check; `isEmpty` on a checkpointed frame is
+    * a cheap bounded driver action, and on a real graph it stops the
+    * traversal the moment the reachable set is exhausted instead of
+    * running maxHops empty join rounds. */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3): DataFrame = {
     val e = edges.localCheckpoint(true) // consumed once per hop
-    var dist = seeds.select(col("node")).distinct()
+    val d0 = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0).cast("int"))
       .localCheckpoint(true)
-    var frontier = dist.select("node")
-    for (i <- 1 to maxHops) {
+    var settled = Vector(d0) // each element individually checkpointed
+    var frontier = d0.select("node")
+    var hop = 1
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val visited = settled.map(_.select("node")).reduce(_ union _)
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node")).distinct()
-        .join(dist.select("node"), Seq("node"), "left_anti")
-        .withColumn("dist", lit(i).cast("int"))
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop).cast("int"))
         .localCheckpoint(true)
-      dist = dist.union(next).localCheckpoint(true)
+      settled :+= next
       frontier = next.select("node")
+      hop += 1
     }
-    dist
+    settled.reduce(_ union _)
   }
 
   /** Entity co-occurrence edge weights: for every unordered mention pair,
