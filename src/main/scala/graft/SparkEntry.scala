@@ -376,6 +376,11 @@ object SparkEntry {
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // Schema-on-read JSON extraction with an EXPLICIT schema (no inference
+    // scan), map-only parse inside the scan projection, integer-only stats
+    "q_json" -> ((s, dir) =>
+      graft.ops.SemiStructured.eventPropStats(s.read.parquet(s"$dir/events.parquet"))),
+
     // Backward as-of join (an operator Spark lacks): each click picks up the
     // most recent purchase by the same user at-or-before its timestamp.
     // Union-tag + one window — a single key shuffle, no range cross-product
@@ -1188,6 +1193,15 @@ INTERSECT SELECT o_custkey FROM orders""",
       """WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)
 SELECT user_id, CAST(SUM(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
 COUNT(*) AS n_events FROM x GROUP BY 1""",
+
+    // DuckDB SUM(BIGINT) widens to HUGEINT — cast back for hash parity
+    "q_json" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1""",
 
     "q_asof" ->
       """SELECT c.event_id, c.user_id, p.event_id AS matched_purchase, p.value AS purchase_value
