@@ -219,6 +219,15 @@ object SparkEntry {
       graft.ops.TextAnalysis.rollingFingerprints(s.read.parquet(s"$dir/documents.parquet"))),
     "text_repetition" -> ((s, dir) =>
       graft.ops.TextAnalysis.repetitionStats(s.read.parquet(s"$dir/documents.parquet"))),
+    // context-window chunking: size-64 token windows, overlap 16 (stride
+    // 48); map-only tokenize → explode chunk range → slice, no shuffle
+    "text_chunks" -> ((s, dir) =>
+      graft.ops.Chunking.chunkDocs(s.read.parquet(s"$dir/documents.parquet"))),
+    // concat-and-split sequence packing within doc_id buckets: one bounded
+    // window exchange on the bucket key, never a global running sum
+    "text_pack" -> ((s, dir) =>
+      graft.ops.Chunking.packSequences(s.read.parquet(s"$dir/documents.parquet"),
+        seqLen = 512, bucketDocs = 256)),
     "text_tfdf" -> ((s, dir) =>
       graft.ops.TextAnalysis.termStats(s.read.parquet(s"$dir/documents.parquet"))),
     // keep cast to int on both engines: driver hash parity over booleans is
@@ -1041,6 +1050,28 @@ FROM s""",
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
 CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS bpeish_tokens
 FROM documents""",
+
+    // sliding windows over the token list: chunk i = tokens
+    // [i*48+1 .. i*48+64] (1-based inclusive slice = Spark's slice(pos,len))
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL),
+c AS (SELECT doc_id, toks, unnest(generate_series(0, (len(toks) - 1) // 48)) AS chunk_idx FROM t)
+SELECT doc_id, chunk_idx,
+CAST(least(64, len(toks) - chunk_idx * 48) AS BIGINT) AS n_tokens,
+array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+FROM c""",
+
+    // bucketed concat-and-split packing: running token sum within each
+    // doc_id-div-256 bucket, cut every 512 tokens
+    "text_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id // 256 AS bucket,
+  len(string_split(text, ' ')) AS n_tokens FROM documents WHERE text IS NOT NULL),
+r AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end FROM t)
+SELECT doc_id, bucket, n_tokens,
+CAST((cum_end - n_tokens) // 512 AS BIGINT) AS first_seq,
+CAST((cum_end - 1) // 512 AS BIGINT) AS last_seq
+FROM r""",
 
     // DuckDB SUM(BIGINT) widens to HUGEINT — cast back to the BIGINT the
     // Spark sum(long) emits. string_split/unnest over NULL text yields no
