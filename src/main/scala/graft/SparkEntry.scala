@@ -136,7 +136,12 @@ object SparkEntry {
     // multi-source BFS hop distances: seeds = the rdf:type Document nodes,
     // frontier iteration with visited anti-join (all-integer, hash-gateable)
     "kg_bfs" -> ((s, dir) => {
+      // checkpoint the parse ONCE: edges and seeds below each trigger an
+      // eager action inside bfsDistances, and without the cut each would
+      // re-run the full transcript parse (the thrice-consumed-frame lesson)
       val triples = ParseStage.parsedTranscripts(s, dir).toDF()
+        .select("subj", "pred", "obj", "obj_type", "error")
+        .localCheckpoint(true)
       val seeds = triples
         .filter(col("error").isNull &&
           col("pred") === s"<${RdfNs}type>" && col("obj") === s"<${Voc}Document>")
@@ -1055,7 +1060,7 @@ FROM documents""",
     // [i*48+1 .. i*48+64] (1-based inclusive slice = Spark's slice(pos,len))
     "text_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL),
-c AS (SELECT doc_id, toks, unnest(generate_series(0, (len(toks) - 1) // 48)) AS chunk_idx FROM t)
+c AS (SELECT doc_id, toks, unnest(generate_series(0, greatest(0, (len(toks) - 16 - 1) // 48))) AS chunk_idx FROM t)
 SELECT doc_id, chunk_idx,
 CAST(least(64, len(toks) - chunk_idx * 48) AS BIGINT) AS n_tokens,
 array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
@@ -1225,14 +1230,21 @@ INTERSECT SELECT o_custkey FROM orders""",
 SELECT user_id, CAST(SUM(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
 COUNT(*) AS n_events FROM x GROUP BY 1""",
 
-    // DuckDB SUM(BIGINT) widens to HUGEINT — cast back for hash parity
+    // DuckDB SUM(BIGINT) widens to HUGEINT — cast back for hash parity.
+    // Extraction mirrors Spark's PERMISSIVE from_json with a LongType
+    // field exactly: malformed JSON, a missing k, and a non-integral k
+    // (3.5 or "3") all yield NULL — hence the json_valid + json_type
+    // guard, NOT a bare CAST (which would raise on malformed input and
+    // silently coerce "3").
     "q_json" ->
-      """SELECT event_type, COUNT(*) AS n_events,
-COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events GROUP BY 1""",
+      """WITH e AS (SELECT event_type,
+  CASE WHEN props IS NOT NULL AND json_valid(props)
+         AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+       THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM events)
+SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
+CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM e GROUP BY 1""",
 
     "q_asof" ->
       """SELECT c.event_id, c.user_id, p.event_id AS matched_purchase, p.value AS purchase_value

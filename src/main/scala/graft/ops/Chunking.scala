@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
 object Chunking {
 
   /** Split each document into overlapping token windows: chunk i covers
-    * tokens [i·stride, i·stride + size) with stride = size − overlap;
-    * starts run while they are < n_tokens, so the final chunk may be
-    * short (the standard sliding-window rule). Null-text documents are
-    * skipped.
+    * tokens [i·stride, i·stride + size) with stride = size − overlap; the
+    * final chunk may be short. A window is emitted only if it contributes
+    * at least one NEW token (one past the previous window's end) — i.e.
+    * chunk i > 0 requires n_tokens > i·stride + overlap — otherwise the
+    * tail chunk would be wholly contained in its predecessor and inject
+    * verbatim duplicate text into the training stream. Null-text documents
+    * are skipped.
     *
     * Scale shape: map-only — tokenize, explode the per-document chunk
     * index range, slice. No shuffle at all; the output is written straight
@@ -29,8 +32,14 @@ object Chunking {
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // last index = max(0, (n - overlap - 1) div stride): for n <= size
+      // that is 0 (one chunk); beyond, only windows with fresh tokens.
+      // greatest(0, ..) also guards the negative-numerator case, where
+      // Spark's div truncates toward zero but DuckDB's // floors — and
+      // where sequence(0, -1) would count DOWN (the sf gotcha list).
       .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), expr(s"(size(toks) - 1) div $stride"))).as("chunk_idx"))
+        explode(sequence(lit(0),
+          greatest(lit(0), expr(s"(size(toks) - $overlap - 1) div $stride")))).as("chunk_idx"))
       .select(
         col("doc_id"),
         col("chunk_idx").cast("long").as("chunk_idx"),

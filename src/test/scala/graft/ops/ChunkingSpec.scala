@@ -7,11 +7,14 @@ class ChunkingSpec extends SparkSuite {
 
   test("chunkDocs: window geometry, overlap, short tail, single-chunk doc, null text skipped") {
     import spark.implicits._
-    // doc 1: 10 tokens, size 4 / overlap 1 (stride 3) → starts 0,3,6,9
+    // doc 1: 10 tokens, size 4 / overlap 1 (stride 3) → starts 0,3,6 — a
+    // 4th window (start 9, just "t10") would be contained in chunk 2 and
+    // is suppressed (no-duplicate-tail rule)
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
       (2L, "only three tokens"),
       (3L, null: String),
+      (4L, (1 to 11).map(i => s"u$i").mkString(" ")), // one fresh token past chunk 2 → tail kept
     ).toDF("doc_id", "text")
     val out = Chunking.chunkDocs(docs, size = 4, overlap = 1)
       .as[(Long, Long, Long, String)].collect().toSet
@@ -19,12 +22,20 @@ class ChunkingSpec extends SparkSuite {
       (1L, 0L, 4L, "t1 t2 t3 t4"),
       (1L, 1L, 4L, "t4 t5 t6 t7"),
       (1L, 2L, 4L, "t7 t8 t9 t10"),
-      (1L, 3L, 1L, "t10"), // short tail
       (2L, 0L, 3L, "only three tokens"), // doc shorter than one window
+      (4L, 0L, 4L, "u1 u2 u3 u4"),
+      (4L, 1L, 4L, "u4 u5 u6 u7"),
+      (4L, 2L, 4L, "u7 u8 u9 u10"),
+      (4L, 3L, 2L, "u10 u11"), // short tail with fresh content survives
     ))
     // overlap invariant: consecutive chunks share exactly `overlap` tokens
     val c = out.filter(_._1 == 1L).toSeq.sortBy(_._2).map(_._4.split(" ").toSeq)
     c.sliding(2).foreach { case Seq(a, b) => assert(a.takeRight(1) == b.take(1)) }
+    // no chunk's text is a contiguous sub-span of another chunk of the same doc
+    out.groupBy(_._1).values.foreach { chunks =>
+      for (a <- chunks; b <- chunks if a._2 != b._2)
+        assert(!(" " + b._4 + " ").contains(" " + a._4 + " "), s"chunk ${a._2} ⊆ ${b._2}")
+    }
   }
 
   test("chunkDocs: every token of every document is covered; chunk_text reassembles the doc at zero overlap") {
