@@ -133,21 +133,19 @@ object SparkEntry {
     "kg_pagerank" -> ((s, dir) =>
       graft.ops.GraphAnalytics.pageRank(ParseStage.parsedTranscripts(s, dir).toDF())),
 
-    // multi-source BFS hop distances: seeds = the rdf:type Document nodes,
-    // frontier iteration with visited anti-join (all-integer, hash-gateable)
+    // multi-source BFS hop distances: seeds = the graph ROOTS (nodes with
+    // no in-edge), which traverse the full KG depth — dist 0..3 all
+    // populated at every sf, so the driver hash pins true multi-hop
+    // frontier iteration, not just the first expansion
     "kg_bfs" -> ((s, dir) => {
-      // checkpoint the parse ONCE: edges and seeds below each trigger an
-      // eager action inside bfsDistances, and without the cut each would
-      // re-run the full transcript parse (the thrice-consumed-frame lesson)
-      val triples = ParseStage.parsedTranscripts(s, dir).toDF()
-        .select("subj", "pred", "obj", "obj_type", "error")
-        .localCheckpoint(true)
-      val seeds = triples
-        .filter(col("error").isNull &&
-          col("pred") === s"<${RdfNs}type>" && col("obj") === s"<${Voc}Document>")
-        .select(col("subj").as("node"))
-      graft.ops.GraphAnalytics.bfsDistances(
-        graft.ops.GraphAnalytics.nodeEdges(triples), seeds, maxHops = 3)
+      // checkpoint edges ONCE: the two seed derivations and the eager
+      // actions inside bfsDistances would otherwise each re-run the full
+      // transcript parse (the thrice-consumed-frame lesson)
+      val edges = graft.ops.GraphAnalytics.nodeEdges(
+        ParseStage.parsedTranscripts(s, dir).toDF()).localCheckpoint(true)
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .join(edges.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+      graft.ops.GraphAnalytics.bfsDistances(edges, seeds, maxHops = 3)
     }),
 
     // entity co-occurrence edge weights within conversations (the
@@ -569,12 +567,11 @@ SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u"""
     * recurrence unrolled to `maxHops` chained CTEs. After k rounds a node
     * holds min-over-paths-of-length-≤-k — identical to the Spark side's
     * frontier BFS for every node within `maxHops` of a seed, and absent
-    * otherwise. Seeds are the rdf:type Document nodes. */
+    * otherwise. Seeds are the graph roots (no in-edge). */
   private def bfsSql(maxHops: Int): String = {
     val sb = new StringBuilder(graphEdgesCte)
     sb.append(s""",
-seeds AS (SELECT DISTINCT subj AS node FROM expected
-          WHERE pred = '<${RdfNs}type>' AND obj = '<${Voc}Document>'),
+seeds AS (SELECT src AS node FROM edges EXCEPT SELECT dst FROM edges),
 b0 AS (SELECT node, CAST(0 AS INTEGER) AS dist FROM seeds)""")
     for (i <- 1 to maxHops) {
       sb.append(s""",
