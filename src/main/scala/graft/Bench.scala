@@ -35,8 +35,9 @@ object Bench {
     // Version tag = generator content version: any change to the transcript
     // templates MUST bump it so a cached corpus from the old generator is
     // rewritten, keeping counts consistent with fresh runs. v2: malformed
-    // docs seeded at doc_id % 64; v3: malformed modulus 64 -> 65.
-    val stamp = s"$sfDir|$k|v3"
+    // docs seeded at doc_id % 64; v3: malformed modulus 64 -> 65; v4: the
+    // doc-11 celebrity hub (RDF fanout + prose mention burst).
+    val stamp = s"$sfDir|$k|v4"
     // Reuse only when the stamp matches AND the corpus is actually intact
     // (Spark's _SUCCESS sentinel + at least one part file): a partially
     // deleted dir with a surviving marker must be rewritten, not reused.

@@ -14,6 +14,7 @@ object SparkEntry {
 
   import Transcripts.{Base, Voc, RdfNs, XsdInt, Convs}
   import Transcripts.{MalformedMod => MalMod, MalformedRem => MalRem}
+  import Transcripts.{HubDoc, HubMentions, HubWidth, HubFanout}
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * end-to-end transcript → parse → predicate histogram. */
@@ -149,10 +150,37 @@ object SparkEntry {
     }),
 
     // entity co-occurrence edge weights within conversations (the
-    // KG-construction pair signal; celebrity-capped per conversation)
+    // KG-construction pair signal; celebrity-capped per conversation —
+    // the seeded conv-11 burst exceeds the cap at every sf)
     "kg_cooccur" -> ((s, dir) =>
       graft.ops.GraphAnalytics.cooccurrence(
         Ner.mentions(Transcripts.transcripts(s, dir)))),
+
+    // Caps-fire evidence (r4 verdict #1): the number of groups each
+    // celebrity/bucket cut excludes, hash-pinned at every sf. Every count
+    // is > 0 by construction (Transcripts.HubDoc seeds the skew), so the
+    // driver gate proves the caps EXCLUDE rows end-to-end, not merely that
+    // they exist in the plans. CapSeedSpec asserts the non-zero floor.
+    "kg_cap_fired" -> ((s, dir) => {
+      val t = Transcripts.transcripts(s, dir)
+      // the universe feeds two independent aggregations below — cut once
+      val universe = Ner.mentionUniverse(t).localCheckpoint(true)
+      val hotConvs = Ner.mentions(t).select("conv_id", "mention").distinct()
+        .groupBy("conv_id").agg(count(lit(1)).as("k")).filter(col("k") > 256)
+        .agg(count(lit(1)).as("n")).select(lit("cooccur_group").as("cap"), col("n"))
+      val hotBuckets = Linking.lshBuckets(universe)
+        .groupBy("band", "bandKey").agg(count(lit(1)).as("k"))
+        .filter(col("k") > Linking.DefaultMaxBucketSize)
+        .agg(count(lit(1)).as("n")).select(lit("lsh_bucket").as("cap"), col("n"))
+      val hotShingles = Linking.mentionShingles(universe)
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > Linking.DefaultMaxShingleDf)
+        .agg(count(lit(1)).as("n")).select(lit("shingle_df").as("cap"), col("n"))
+      val hotMids = graft.ops.GraphAnalytics.nodeEdges(ParseStage.parsedTranscripts(s, dir).toDF())
+        .groupBy("src").agg(count(lit(1)).as("outdeg")).filter(col("outdeg") > 1024)
+        .agg(count(lit(1)).as("n")).select(lit("twohop_mid").as("cap"), col("n"))
+      hotConvs.unionAll(hotBuckets).unionAll(hotShingles).unionAll(hotMids)
+    }),
 
     // ---------------- dedup / similarity / text analysis (documents table)
 
@@ -507,22 +535,46 @@ expected AS (
   UNION ALL SELECT conv_id, turn_idx, '<${Base}d' || doc_id || '>', '<${Voc}meta>', '_:' || conv_id || '_' || turn_idx || '_b0' FROM d WHERE doc_id % 4 = 2
   UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${Voc}chars>', '"' || n_chars || '"' FROM d WHERE doc_id % 4 = 2
   UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${Voc}source>', '"' || source || '"' FROM d WHERE doc_id % 4 = 2
-  -- v3: parseType=Collection rdf:List chain (_:b0, _:b1)
-  UNION ALL SELECT conv_id, turn_idx, '<${Base}d' || doc_id || '>', '<${Voc}tags>', '_:' || conv_id || '_' || turn_idx || '_b0' FROM d WHERE doc_id % 4 = 3
-  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${RdfNs}first>', '<${Base}t/' || lang || '>' FROM d WHERE doc_id % 4 = 3
-  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${RdfNs}rest>', '_:' || conv_id || '_' || turn_idx || '_b1' FROM d WHERE doc_id % 4 = 3
-  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b1', '<${RdfNs}first>', '<${Base}t/' || source || '>' FROM d WHERE doc_id % 4 = 3
-  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b1', '<${RdfNs}rest>', '<${RdfNs}nil>' FROM d WHERE doc_id % 4 = 3
+  -- v3: parseType=Collection rdf:List chain (_:b0, _:b1); the hub doc is
+  -- carved out (11 % 4 = 3 would otherwise route it here)
+  UNION ALL SELECT conv_id, turn_idx, '<${Base}d' || doc_id || '>', '<${Voc}tags>', '_:' || conv_id || '_' || turn_idx || '_b0' FROM d WHERE doc_id % 4 = 3 AND doc_id <> $HubDoc
+  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${RdfNs}first>', '<${Base}t/' || lang || '>' FROM d WHERE doc_id % 4 = 3 AND doc_id <> $HubDoc
+  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b0', '<${RdfNs}rest>', '_:' || conv_id || '_' || turn_idx || '_b1' FROM d WHERE doc_id % 4 = 3 AND doc_id <> $HubDoc
+  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b1', '<${RdfNs}first>', '<${Base}t/' || source || '>' FROM d WHERE doc_id % 4 = 3 AND doc_id <> $HubDoc
+  UNION ALL SELECT conv_id, turn_idx, '_:' || conv_id || '_' || turn_idx || '_b1', '<${RdfNs}rest>', '<${RdfNs}nil>' FROM d WHERE doc_id % 4 = 3 AND doc_id <> $HubDoc
+  -- celebrity hub (doc $HubDoc, Transcripts.HubDoc): d11 → hub, plus
+  -- $HubFanout hub → h/i out-edges — one node above the 2-hop mid cap
+  UNION ALL SELECT conv_id, turn_idx, '<${Base}d' || doc_id || '>', '<${Voc}hub>', '<${Base}hub>' FROM d WHERE doc_id = $HubDoc
+  UNION ALL SELECT conv_id, turn_idx, '<${Base}hub>', '<${Voc}ref>', '<${Base}h/' || i || '>'
+    FROM d, (SELECT unnest(generate_series(0, ${HubFanout - 1})) AS i) hub_i WHERE doc_id = $HubDoc
 )"""
   }
+
+  /** The celebrity burst: $HubMentions distinct binary supplier mentions,
+    * space-joined — the DuckDB mirror of Transcripts.hubMentionsExpr (same
+    * arithmetic, byte-identical strings; `//` floors like Spark's `div` on
+    * these non-negative operands). */
+  private def hubMentionsSql: String =
+    s"array_to_string([('Supplier#1' || repeat('0', 3 + i % $HubWidth) || '1' || " +
+      s"repeat('0', 3 + i // $HubWidth) || '1') for i in generate_series(0, ${HubMentions - 1})], ' ')"
+
+  /** The hub RDF/XML body fragment (everything between the shared head and
+    * tail) — mirrors Transcripts.rdfXmlText's vHub branch. */
+  private def hubXmlSql: String =
+    s"""'<rdf:Description rdf:about="d' || doc_id || '"><g:hub rdf:resource="hub"/></rdf:Description><rdf:Description rdf:about="hub">' || """ +
+      s"""array_to_string([('<g:ref rdf:resource="h/' || CAST(i AS VARCHAR) || '"/>') for i in generate_series(0, ${HubFanout - 1})], '') || '</rdf:Description>'"""
 
   /** Node→node edges of the expected KG, mirroring
     * `GraphAnalytics.nodeEdges`: IRI objects (`<…>`) and blank nodes
     * (`_:…`) are edges, literals are properties. `substring` rather than
-    * `LIKE '_:%'` because `_` is a LIKE wildcard. */
+    * `LIKE '_:%'` because `_` is a LIKE wildcard. RDF 1.2 triple terms
+    * serialize as `<<( … )>>` — also `LIKE '<%'`, but nodeEdges excludes
+    * obj_type 'triple', so the oracle must too (none in this corpus today;
+    * the predicate keeps the two edge definitions equivalent if a future
+    * template adds annotations). */
   private def graphEdgesCte: String =
     s"$expectedTriplesCte, edges AS (SELECT DISTINCT subj AS src, obj AS dst " +
-      "FROM expected WHERE obj LIKE '<%' OR substring(obj, 1, 2) = '_:')"
+      "FROM expected WHERE (obj LIKE '<%' AND obj NOT LIKE '<<(%') OR substring(obj, 1, 2) = '_:')"
 
   /** DuckDB mirror of `GraphAnalytics.pageRank`: the same integer
     * fixed-point recurrence unrolled as chained CTEs (`//` is DuckDB floor
@@ -589,6 +641,16 @@ b$i AS (SELECT node, MIN(dist) AS dist FROM (
   private val ProsePrefixSql =
     "'Agent ' || upper(substr(lang, 1, 1)) || substr(lang, 2) || ' ' || upper(substr(source, 1, 1)) || substr(source, 2) || ' notes. '"
 
+  /** The FULL prose-turn text — the one SQL mirror of Transcripts.proseText
+    * (prefix, customer/supplier mentions, the doc-11 celebrity burst, raw
+    * document text), shared by every oracle that rebuilds prose turns. */
+  private def proseTextSql: String =
+    s"""$ProsePrefixSql ||
+    'Customer#' || lpad(CAST(doc_id % 50 AS VARCHAR), 9, '0') || ' reported an issue. ' ||
+    CASE WHEN doc_id % 2 = 0 THEN 'Supplier#' || lpad(CAST(doc_id % 10 AS VARCHAR), 9, '0') || ' replied. '
+         ELSE 'Supplier#' || (doc_id % 10) || ' replied. ' END ||
+    CASE WHEN doc_id = $HubDoc THEN $hubMentionsSql || ' ' ELSE '' END || text"""
+
   /** DuckDB SQL reconstructing the full transcript text for the text-
     * equality oracle (the same concat the Spark generator performs). */
   private def turnTextSql: String = {
@@ -607,6 +669,7 @@ turns AS (
     CASE WHEN doc_id % 3 = 2 THEN 'kg-extractor' ELSE NULL END AS tool,
     CASE
       WHEN doc_id % $MalMod = $MalRem THEN '$head<rdf:Description rdf:about="d' || doc_id || '"><g:broken>unclosed$tail'
+      WHEN doc_id = $HubDoc THEN '$head' || $hubXmlSql || '$tail'
       WHEN doc_id % 4 = 0 THEN '$head<g:Document rdf:about="d' || doc_id || '" g:source="' || source || '"><g:lang>' || lang || '</g:lang><g:chars rdf:datatype="$XsdInt">' || n_chars || '</g:chars><g:corpus rdf:resource="corpus/' || source || '"/></g:Document>$tail'
       WHEN doc_id % 4 = 1 THEN '$head<g:Entry rdf:about="d' || doc_id || '"><g:title xml:lang="' || lang || '">Document ' || doc_id || '</g:title><g:src rdf:ID="st' || doc_id || '" rdf:resource="corpus/' || source || '"/></g:Entry>$tail'
       WHEN doc_id % 4 = 2 THEN '$head<rdf:Description rdf:about="d' || doc_id || '"><g:meta rdf:parseType="Resource"><g:chars>' || n_chars || '</g:chars><g:source>' || source || '</g:source></g:meta></rdf:Description>$tail'
@@ -615,10 +678,7 @@ turns AS (
   FROM d
   UNION ALL
   SELECT conv_id, CAST(rn*2+1 AS INTEGER), 'tool', 'search',
-    $ProsePrefixSql ||
-    'Customer#' || lpad(CAST(doc_id % 50 AS VARCHAR), 9, '0') || ' reported an issue. ' ||
-    CASE WHEN doc_id % 2 = 0 THEN 'Supplier#' || lpad(CAST(doc_id % 10 AS VARCHAR), 9, '0') || ' replied. '
-         ELSE 'Supplier#' || (doc_id % 10) || ' replied. ' END || text
+    $proseTextSql
   FROM d
 )
 SELECT conv_id, turn_idx, role, tool, md5(text) AS text_md5 FROM turns"""
@@ -636,10 +696,7 @@ WITH d AS (
 ),
 prose AS (
   SELECT conv_id, CAST(rn*2+1 AS INTEGER) AS turn_idx,
-    $ProsePrefixSql ||
-    'Customer#' || lpad(CAST(doc_id % 50 AS VARCHAR), 9, '0') || ' reported an issue. ' ||
-    CASE WHEN doc_id % 2 = 0 THEN 'Supplier#' || lpad(CAST(doc_id % 10 AS VARCHAR), 9, '0') || ' replied. '
-         ELSE 'Supplier#' || (doc_id % 10) || ' replied. ' END || text AS text
+    $proseTextSql AS text
   FROM d
 ),
 occ AS (
@@ -824,10 +881,7 @@ nrm AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS n
 ),
 prose AS (
   SELECT conv_id, CAST(rn*2+1 AS INTEGER) AS turn_idx,
-    $ProsePrefixSql ||
-    'Customer#' || lpad(CAST(doc_id % 50 AS VARCHAR), 9, '0') || ' reported an issue. ' ||
-    CASE WHEN doc_id % 2 = 0 THEN 'Supplier#' || lpad(CAST(doc_id % 10 AS VARCHAR), 9, '0') || ' replied. '
-         ELSE 'Supplier#' || (doc_id % 10) || ' replied. ' END || text AS text
+    $proseTextSql AS text
   FROM d
 )
 SELECT conv_id, turn_idx, unnest(regexp_extract_all(text, '[A-Z][a-z]+(?: [A-Z][a-z]+)+')) AS span FROM prose""",
@@ -840,8 +894,12 @@ SELECT u AS node, min(v) AS component FROM reach GROUP BY u""",
     "kg_linked" ->
       s"""$mentionCtes,
 dict AS (SELECT c_name AS entity_name FROM customer UNION ALL SELECT s_name FROM supplier),
-dk AS (SELECT entity_name, split_part(entity_name, '#', 1) AS etype, CAST(split_part(entity_name, '#', 2) AS BIGINT) AS eid FROM dict),
-mk AS (SELECT mention, split_part(mention, '#', 1) AS etype, CAST(split_part(mention, '#', 2) AS BIGINT) AS eid FROM m)
+-- >18-digit ids (the seeded celebrity mentions) parse to NULL and never
+-- join, mirroring Linking.eidOf's ANSI-safe length guard
+dk AS (SELECT entity_name, split_part(entity_name, '#', 1) AS etype,
+              CASE WHEN len(split_part(entity_name, '#', 2)) <= 18 THEN CAST(split_part(entity_name, '#', 2) AS BIGINT) END AS eid FROM dict),
+mk AS (SELECT mention, split_part(mention, '#', 1) AS etype,
+              CASE WHEN len(split_part(mention, '#', 2)) <= 18 THEN CAST(split_part(mention, '#', 2) AS BIGINT) END AS eid FROM m)
 SELECT mention, entity_name FROM mk JOIN dk USING (etype, eid)""",
     "kg_adjacency" ->
       s"$expectedTriplesCte SELECT subj, COUNT(*) AS degree, COUNT(DISTINCT pred) AS n_pred FROM expected GROUP BY subj",
@@ -862,8 +920,10 @@ GROUP BY e1.src""",
     "kg_pagerank" -> pageRankSql(iterations = 3, scale = 1000000000L),
     "kg_bfs" -> bfsSql(maxHops = 3),
     // co-occurrence over DISTINCT (conv, mention); `occ` comes from
-    // mentionCtes. 256 mirrors GraphAnalytics.cooccurrence's default cap
-    // (no sf's conversations exceed it, so it is exercised only in specs).
+    // mentionCtes. 256 mirrors GraphAnalytics.cooccurrence's default cap;
+    // the seeded celebrity conversation (conv-11, > 1030 distinct mentions
+    // at every sf) is excluded by it on BOTH engines, so the hash pins the
+    // cap actually firing — kg_cap_fired pins the excluded-group count.
     "kg_cooccur" ->
       s"""$mentionCtes,
 cm AS (SELECT DISTINCT conv_id, mention FROM occ),
@@ -872,6 +932,27 @@ cmm AS (SELECT cm.conv_id, cm.mention FROM cm JOIN okc USING (conv_id))
 SELECT x.mention AS a, y.mention AS b, COUNT(*) AS n_convs
 FROM cmm x JOIN cmm y ON x.conv_id = y.conv_id AND x.mention < y.mention
 GROUP BY 1, 2""",
+
+    // caps-fire evidence: the four exclusion counts, re-derived in SQL.
+    // 256 = cooccurrence maxPerGroup, 1024 = DefaultMaxBucketSize and the
+    // 2-hop maxMidOut, 1000 = DefaultMaxShingleDf. The graph part nests the
+    // expected-triples WITH chain as a subquery (its CTE names `d`/`edges`
+    // would collide with mentionCtes'; DuckDB scopes inner CTEs).
+    "kg_cap_fired" ->
+      (s"$mentionCtes${minhashChain("mention")}${lshBandsCte("mention")}" +
+        s"""
+SELECT 'cooccur_group' AS cap, COUNT(*) AS n FROM (
+  SELECT conv_id FROM (SELECT DISTINCT conv_id, mention FROM occ) cm
+  GROUP BY conv_id HAVING COUNT(*) > 256) t
+UNION ALL SELECT 'lsh_bucket', COUNT(*) FROM (
+  SELECT band, bkey FROM bands GROUP BY band, bkey
+  HAVING COUNT(*) > ${graft.pipeline.Linking.DefaultMaxBucketSize}) t
+UNION ALL SELECT 'shingle_df', COUNT(*) FROM (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) > ${graft.pipeline.Linking.DefaultMaxShingleDf}) t
+UNION ALL SELECT 'twohop_mid', COUNT(*) FROM (
+  SELECT src FROM ($graphEdgesCte SELECT src, dst FROM edges) ge
+  GROUP BY src HAVING COUNT(*) > 1024) t"""),
 
     // ---------------- dedup / text ops
 
@@ -952,7 +1033,7 @@ SELECT m.doc_id, COUNT(*) AS n_shared_grams FROM m JOIN kp USING (u) GROUP BY 1"
     // members (representative = cluster label = min doc_id). NOT IN is
     // NULL-safe here: the cluster subquery's doc_id is never NULL.
     "dedup_survivors" ->
-      s"""SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+      s"""SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source, n_chars FROM documents
 WHERE CAST(doc_id AS VARCHAR) NOT IN
   (SELECT doc_id FROM ($minhashClustersSql) c WHERE doc_id <> cluster)""",
 
@@ -1237,8 +1318,11 @@ COUNT(*) AS n_events FROM x GROUP BY 1""",
       """WITH e AS (SELECT event_type,
   CASE WHEN props IS NOT NULL AND json_valid(props)
          AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
-       THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+       THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
   FROM events)
+-- TRY_CAST, not CAST: json_type 'UBIGINT' admits values in [2^63, 2^64)
+-- where a plain CAST would raise; Spark's PERMISSIVE from_json yields NULL
+-- for the same out-of-Long-range input, and TRY_CAST mirrors that.
 SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
 CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
 FROM e GROUP BY 1""",

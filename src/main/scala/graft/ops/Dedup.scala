@@ -137,7 +137,10 @@ object Dedup {
     val dropped = minhashClusters(docs)
       .filter(col("doc_id") =!= col("cluster"))
       .select("doc_id")
-    docs.select(col("doc_id").cast("string").as("doc_id"))
+    // Return the surviving ROWS with every input column (this is the corpus
+    // a pipeline ships, not an id list); only doc_id is re-typed to string
+    // because the cluster labels the anti-join matches against are strings.
+    docs.withColumn("doc_id", col("doc_id").cast("string"))
       .join(dropped, Seq("doc_id"), "left_anti")
   }
 

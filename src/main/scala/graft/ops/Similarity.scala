@@ -108,6 +108,12 @@ object Similarity {
     * probed (`limit(1)` = an extra job per sim query, and a scan hazard on a
     * corpus whose first partitions are empty-heavy — r3 verdict). Returns 0
     * for an empty table (callers emit zero buckets). */
+  /** Counts [[embeddingDim]] falls to the `limit(1)` probe — a dormant
+    * tool-path that costs an extra Spark job (and a scan hazard on a table
+    * whose leading partitions are empty-heavy). Exposed so OpsSpec can pin
+    * that the registry queries never probe and that the fallback warns. */
+  private[graft] val dimProbeCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def embeddingDim(embeddings: DataFrame, dim: Int): Int = {
     if (dim > 0) return dim
     // metadata is caller-supplied: a non-long or non-positive "dim" falls
@@ -118,6 +124,11 @@ object Similarity {
       .flatMap(m => scala.util.Try(m.getLong("dim").toInt).toOption)
       .filter(_ > 0)
     if (fromMeta.isDefined) return fromMeta.get
+    dimProbeCount.incrementAndGet()
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      "embeddingDim falling back to a limit(1) probe job — pass dim=... or " +
+        "set a 'dim' key in the embedding column's schema metadata to avoid " +
+        "an extra scan per query at table scale")
     val firstEmb = embeddings.select(col("embedding"))
       .filter(col("embedding").isNotNull).limit(1).collect()
     if (firstEmb.isEmpty) 0 else firstEmb.head.getSeq[Any](0).size

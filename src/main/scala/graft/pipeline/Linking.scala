@@ -263,14 +263,25 @@ object Linking {
     * keeps this a map-side join at any corpus scale. Match key: entity type
     * + numeric id with leading zeros stripped, so short and padded surface
     * forms resolve to the same canonical entity. */
+  /** Numeric-id parse guarded on digit count: a surface form whose id part
+    * exceeds 18 digits (> any BIGINT) gets a NULL id and simply never joins,
+    * instead of killing the job under ANSI mode (Spark 4 default) — the
+    * seeded celebrity mentions carry ~70-digit ids precisely to pin this.
+    * CaseWhen short-circuits, so the cast is never evaluated on the long
+    * ones. The oracle mirrors the same length guard. */
+  private def eidOf(name: Column): Column = {
+    val digits = split(name, "#").getItem(1)
+    when(length(digits) <= 18, digits.cast("long"))
+  }
+
   def linkToDictionary(mentions: DataFrame, customers: DataFrame, suppliers: DataFrame): DataFrame = {
     val dict = customers.select(col("c_name").as("entity_name"))
       .unionAll(suppliers.select(col("s_name").as("entity_name")))
       .withColumn("etype", split(col("entity_name"), "#").getItem(0))
-      .withColumn("eid", split(col("entity_name"), "#").getItem(1).cast("long"))
+      .withColumn("eid", eidOf(col("entity_name")))
     mentions
       .withColumn("etype", split(col("mention"), "#").getItem(0))
-      .withColumn("eid", split(col("mention"), "#").getItem(1).cast("long"))
+      .withColumn("eid", eidOf(col("mention")))
       .join(broadcast(dict), Seq("etype", "eid"))
       .select(col("mention"), col("entity_name"))
   }

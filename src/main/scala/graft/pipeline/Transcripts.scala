@@ -45,6 +45,50 @@ object Transcripts {
   val MalformedMod = 65
   val MalformedRem = 63
 
+  /** The seeded CELEBRITY document (r4 verdict "Next round" #1): present at
+    * every scale factor (doc_ids start at 0), it injects deterministic skew
+    * so every celebrity/bucket cap in the pipeline provably EXCLUDES rows
+    * under the driver's hash gate at every sf — not just in specs:
+    *
+    *  - its prose turn appends [[HubMentions]] distinct "binary" supplier
+    *    mentions `Supplier#1 0^a 1 0^b 1` (a, b >= 3). Every such string has
+    *    the IDENTICAL 13-element character-3-gram shingle set
+    *    {sup,upp,ppl,pli,lie,ier,er#,r#1,#10,100,000,001,010}, so all 1030
+    *    share one MinHash signature → one LSH bucket per band with 1030 >
+    *    Linking.DefaultMaxBucketSize (1024) members (bucket cap fires);
+    *    conv-11 carries > 256 distinct mentions (the co-occurrence group
+    *    cap fires); and each of the 13 shingles lands in > 1000 mentions
+    *    (the shingle-DF cap fires, so the binary mentions have EMPTY
+    *    discriminating shingle sets — deliberately: a 1030-clique of
+    *    Jaccard-1.0 edges would explode the exact-path queries instead).
+    *  - its RDF/XML turn is the HUB template: node `hub` with [[HubFanout]]
+    *    `g:ref` out-edges (> the 2-hop celebrity cut of 1024) plus one
+    *    in-edge d11 → hub, so kg_2hop's mid-node cap fires.
+    *
+    * The same modular/equality rules are re-derived in every affected
+    * DuckDB oracle; `kg_cap_fired` hash-pins the four exclusion counts. */
+  val HubDoc = 11L
+
+  /** Binary-mention count: > Linking.DefaultMaxBucketSize (1024). */
+  val HubMentions = 1030
+
+  /** Zero-run width grid for the binary mentions: mention i has
+    * a = 3 + i % HubWidth leading-run zeros and b = 3 + i / HubWidth
+    * trailing-run zeros — a bijection for i < HubWidth², so all
+    * [[HubMentions]] strings are distinct. */
+  val HubWidth = 32
+
+  /** Hub node out-fanout: > GraphAnalytics.twoHopCounts maxMidOut (1024). */
+  val HubFanout = 1030
+
+  /** The 1030 binary mentions, space-joined, as a Spark SQL expression (the
+    * DuckDB mirror is SparkEntry.hubMentionsSql — same arithmetic, so the
+    * strings are byte-identical by construction). */
+  private[graft] def hubMentionsExpr = expr(
+    s"""array_join(transform(sequence(0, ${HubMentions - 1}),
+      i -> concat('Supplier#1', repeat('0', cast(3 + i % $HubWidth as int)), '1',
+                  repeat('0', cast(3 + i div $HubWidth as int)), '1')), ' ')""")
+
   /** The four RDF/XML templates as Spark SQL `concat` column expressions.
     * Single-line documents: whitespace-text handling is covered by the
     * kernel suite; here byte-determinism is what matters.
@@ -85,7 +129,19 @@ object Transcripts {
       lit("""<rdf:Description rdf:about="d"""), col("doc_id"),
       lit(""""><g:broken>unclosed"""),
       lit(tail))
+    // The celebrity-hub template (doc 11 only — see HubDoc): d11 → hub plus
+    // HubFanout hub → h/i out-edges, so one graph node exceeds the 2-hop
+    // celebrity cut at every sf.
+    val vHub = concat(
+      lit(head),
+      lit("""<rdf:Description rdf:about="d"""), col("doc_id"),
+      lit(""""><g:hub rdf:resource="hub"/></rdf:Description><rdf:Description rdf:about="hub">"""),
+      expr(s"""array_join(transform(sequence(0, ${HubFanout - 1}),
+        i -> concat('<g:ref rdf:resource="h/', cast(i as string), '"/>')), '')"""),
+      lit("</rdf:Description>"),
+      lit(tail))
     when(col("doc_id") % MalformedMod === MalformedRem, vErr)
+      .when(col("doc_id") === HubDoc, vHub)
       .when(col("doc_id") % 4 === 0, v0)
       .when(col("doc_id") % 4 === 1, v1)
       .when(col("doc_id") % 4 === 2, v2)
@@ -106,6 +162,9 @@ object Transcripts {
     when(col("doc_id") % 2 === 0,
       concat(lit("Supplier#"), lpad((col("doc_id") % 10).cast("string"), 9, "0"), lit(" replied. ")))
       .otherwise(concat(lit("Supplier#"), (col("doc_id") % 10).cast("string"), lit(" replied. "))),
+    // the celebrity burst (HubDoc only): 1030 distinct identical-shingle-set
+    // mentions — the seeded skew every downstream cap must survive
+    when(col("doc_id") === HubDoc, concat(hubMentionsExpr, lit(" "))).otherwise(lit("")),
     col("text"))
 
   /** The transcript table. Deterministic; schema matches input_hint. */

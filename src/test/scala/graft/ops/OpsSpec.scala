@@ -31,7 +31,10 @@ class OpsSpec extends SparkSuite {
     val dups = base.select(col("doc_id") + 10000, concat(col("text"), lit(" tail")).as("text"))
       .toDF("doc_id", "text")
     val corpus = base.unionAll(dups)
-    val kept = Dedup.survivors(corpus).as[String].collect().toSet
+    val survived = Dedup.survivors(corpus)
+    // the survivors frame carries the input's full row, not an id list
+    assert(survived.columns.toSeq == corpus.columns.toSeq)
+    val kept = survived.select("doc_id").as[String].collect().toSet
     val clusters = Dedup.minhashClusters(corpus).as[(String, String)].collect()
     // per cluster exactly the representative (= the cluster label) survives
     clusters.groupBy(_._2).foreach { case (rep, members) =>
@@ -225,10 +228,14 @@ class OpsSpec extends SparkSuite {
   test("embeddingDim: explicit param > valid metadata > probe; bad metadata falls back, never crashes") {
     import org.apache.spark.sql.types.MetadataBuilder
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val probesBefore = graft.ops.Similarity.dimProbeCount.get()
     assert(graft.ops.Similarity.embeddingDim(e, 7) == 7) // explicit wins
     val withMeta = e.withColumn("embedding",
       col("embedding").as("embedding", new MetadataBuilder().putLong("dim", 64).build()))
     assert(graft.ops.Similarity.embeddingDim(withMeta, 0) == 64)
+    // neither the explicit-param nor the metadata path may touch the
+    // warned probe fallback (the counter backs the logWarning)
+    assert(graft.ops.Similarity.dimProbeCount.get() == probesBefore)
     // non-long / non-positive metadata must fall through to the probe (the
     // real dim), not throw or route a populated table into the empty path
     val strMeta = e.withColumn("embedding",
@@ -238,6 +245,9 @@ class OpsSpec extends SparkSuite {
       col("embedding").as("embedding", new MetadataBuilder().putLong("dim", 0L).build()))
     assert(graft.ops.Similarity.embeddingDim(zeroMeta, 0) == 64)
     assert(graft.ops.Similarity.embeddingDim(e.filter(lit(false)), 0) == 0) // empty table
+    // each of the three fall-through calls above fired (and warned about)
+    // exactly one probe job
+    assert(graft.ops.Similarity.dimProbeCount.get() == probesBefore + 3)
   }
 
   test("LSH top-k recall vs brute force") {

@@ -74,7 +74,9 @@ class PipelineSpec extends SparkSuite {
     // the corpus seeds doc_id % 65 == 63 as malformed (7 of 500 at sf0.001):
     // the pipeline surfaces them on the error channel without failing
     assert(stats.parseErrors == 7)
-    assert(stats.mentions == 1000)
+    // 2 occurrences per prose turn (500 turns) + the seeded doc-11
+    // celebrity burst (Transcripts.HubMentions distinct binary mentions)
+    assert(stats.mentions == 1000 + Transcripts.HubMentions)
     assert(stats.entities > 0 && stats.entities < 70)
     assert(stats.reusedStages == 0)
     // HLL at rsd=0.02 must land within ~3x rsd of the exact distinct count
