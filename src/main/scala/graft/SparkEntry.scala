@@ -231,6 +231,11 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
     "sim_pq_codes" -> ((s, dir) =>
       graft.ops.Similarity.pqCodes(s.read.parquet(s"$dir/embeddings.parquet"), dim = 64)),
+    // composed IVF-PQ ADC: probe 4 of 16 cells, score candidates from the
+    // integer fixed-point per-query LUT over the PQ codes — the production
+    // disk-resident ANN shape (see Similarity.ivfPqTopK's determinism note)
+    "sim_ivfpq_topk" -> ((s, dir) =>
+      graft.ops.Similarity.ivfPqTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5, dim = 64)),
     // scale-path near-dup pairs: LSH bucket blocking + exact-cosine verify
     // over the FULL table (vs sim_neardup's bounded-cartesian exact tool)
     "sim_lsh_neardup" -> ((s, dir) =>
@@ -853,6 +858,38 @@ qb AS (SELECT vec_id AS q, t, bucket FROM bk WHERE vec_id < 16),
 cand AS (SELECT DISTINCT qb.q, b.vec_id AS neighbor FROM bk b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket WHERE b.vec_id <> qb.q),
 nrm AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS n FROM embeddings)${annRankSql(5)}"""
 
+  /** Fold-exact SQL mirror of Similarity.sqL2 (same left-to-right double
+    * fold as the native SqL2F64 / the defining zip_with chain). */
+  private def sqL2Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (s, v) -> s + v)"
+
+  /** IVF coarse-quantizer CTE chain (nrm … cand) shared by `sim_ivf_topk`
+    * and `sim_ivfpq_topk`. Constants match the SparkEntry calls:
+    * nQueries=16, 16 cells, nProbe=4. Assignment argmax breaks ties to the
+    * smallest cell (Spark's max-of-struct with negated cell); probes break
+    * ties to the larger cell (the reverse-sorted-struct order). */
+  private def ivfCandCtes: String =
+    s"""nrm AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS n FROM embeddings),
+cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS ce, n AS cn
+       FROM (SELECT * FROM nrm ORDER BY vec_id LIMIT 16) t),
+score AS (SELECT v.vec_id, c.cell, ${dotSql("v.embedding", "c.ce")} / (v.n * c.cn) AS cs FROM nrm v, cb c),
+asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn FROM score) t WHERE rn = 1),
+qp AS (SELECT vec_id AS q, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell DESC) AS rn FROM score WHERE vec_id < 16) t WHERE rn <= 4),
+cand AS (SELECT DISTINCT qp.q, a.vec_id AS neighbor FROM asg a JOIN qp ON a.cell = qp.cell WHERE a.vec_id <> qp.q)"""
+
+  /** PQ CTE chain (pcb … codes) shared by `sim_pq_codes` and
+    * `sim_ivfpq_topk`: same codebook convention (16 lowest vec_ids), same
+    * left-to-right squared-diff double fold as the Spark chain, argmin
+    * ties → smallest centroid index. m=4 subspaces × 16-dim subvectors. */
+  private def pqCtes: String =
+    s"""pcb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) t),
+sp AS (SELECT unnest(range(0, 4)) AS s),
+cbsub AS (SELECT j, CAST(sp.s AS INTEGER) AS subspace, pcb.embedding[sp.s*16+1 : sp.s*16+16] AS csub FROM pcb, sp),
+vsub AS (SELECT vec_id, CAST(sp.s AS INTEGER) AS subspace, e.embedding[sp.s*16+1 : sp.s*16+16] AS vsub FROM embeddings e, sp),
+pqscore AS (SELECT vec_id, subspace, j, ${sqL2Sql("vsub", "csub")} AS d FROM vsub JOIN cbsub USING (subspace)),
+codes AS (SELECT vec_id, subspace, j AS code FROM (SELECT vec_id, subspace, j, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d, j) AS rn FROM pqscore) t WHERE rn = 1)"""
+
   def oracleSql: Map[String, String] = Map(
     "kg_minhash_sig" -> minhashSigSql,
     // LSH candidate pairs are a deterministic composition of the bit-exact
@@ -1075,36 +1112,29 @@ WHERE ${dotSql("x.embedding", "y.embedding")} / (x.n * y.n) >= 0.35""",
     // max-of-struct with negated cell), probes = top-4 cells per query
     // (ties → larger cell, the reverse-sorted-struct order).
     "sim_ivf_topk" ->
-      s"""WITH nrm AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS n FROM embeddings),
-cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS ce, n AS cn
-       FROM (SELECT * FROM nrm ORDER BY vec_id LIMIT 16) t),
-score AS (SELECT v.vec_id, c.cell, ${dotSql("v.embedding", "c.ce")} / (v.n * c.cn) AS cs FROM nrm v, cb c),
-asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn FROM score) t WHERE rn = 1),
-qp AS (SELECT vec_id AS q, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell DESC) AS rn FROM score WHERE vec_id < 16) t WHERE rn <= 4),
-cand AS (SELECT DISTINCT qp.q, a.vec_id AS neighbor FROM asg a JOIN qp ON a.cell = qp.cell WHERE a.vec_id <> qp.q)${annRankSql(5)}""",
+      s"WITH $ivfCandCtes${annRankSql(5)}",
 
-    // PQ assignment replayed exactly: same codebook convention (16 lowest
-    // vec_ids), same left-to-right squared-diff double fold as the Spark
-    // zip_with/aggregate chain, ties -> smallest centroid index.
+    // PQ assignment replayed exactly (shared pqCtes chain).
     "sim_pq_codes" ->
-      """WITH cb AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) t
-), sp AS (SELECT unnest(range(0, 4)) AS s),
-cbsub AS (
-  SELECT j, CAST(sp.s AS INTEGER) AS subspace, cb.embedding[sp.s*16+1 : sp.s*16+16] AS csub
-  FROM cb, sp
-), vsub AS (
-  SELECT vec_id, CAST(sp.s AS INTEGER) AS subspace, e.embedding[sp.s*16+1 : sp.s*16+16] AS vsub
-  FROM embeddings e, sp
-), scored AS (
-  SELECT vec_id, subspace, j,
-    list_reduce(list_transform(list_zip(vsub, csub), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (s, v) -> s + v) AS d
-  FROM vsub JOIN cbsub USING (subspace)
-)
-SELECT vec_id, subspace, j AS code
-FROM (SELECT vec_id, subspace, j, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d, j) AS rn FROM scored) t
-WHERE rn = 1""",
+      s"WITH $pqCtes SELECT vec_id, subspace, code FROM codes",
+
+    // Composed IVF-PQ ADC: coarse candidates (shared ivfCandCtes), PQ codes
+    // (shared pqCtes), per-query LUT quantized to integer fixed-point
+    // (floor(d·1e6) — a grouped SUM of doubles is accumulation-order-
+    // dependent; BIGINT sums are exact), rank ascending by ADC distance.
+    // The lut reuses pqscore: a query's subvector distances to the PQ
+    // centroids are exactly its own pqscore rows.
+    "sim_ivfpq_topk" ->
+      s"""WITH $ivfCandCtes,
+$pqCtes,
+lut AS (SELECT vec_id AS q, subspace, j AS code, CAST(floor(d * 1000000.0) AS BIGINT) AS dq FROM pqscore WHERE vec_id < 16),
+adc AS (SELECT c.q, c.neighbor, SUM(l.dq) AS adist
+        FROM cand c JOIN codes co ON co.vec_id = c.neighbor
+        JOIN lut l ON l.q = c.q AND l.subspace = co.subspace AND l.code = co.code
+        GROUP BY 1, 2)
+SELECT q, neighbor, CAST(rk AS INTEGER) AS rank FROM
+  (SELECT q, neighbor, row_number() OVER (PARTITION BY q ORDER BY adist, neighbor) AS rk FROM adc) t
+WHERE rk <= 5""",
 
     "text_quality" ->
       """SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars,

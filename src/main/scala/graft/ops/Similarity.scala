@@ -193,33 +193,37 @@ object Similarity {
     * against the nCells rows + one max-of-struct aggregate (argmax).
     * Approximate; OpsSpec asserts recall vs [[bruteTopK]] and exhaustive
     * equality when probing all cells. */
-  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    // Deterministic codebook: the nCells lowest vec_ids (data-independent
-    // choice; a k-means refinement would slot in here without changing the
-    // plan shape).
-    val e = withNorms(embeddings)
-    // Global (unpartitioned) window — fires WindowExec's single-partition
-    // warning, but its input is the limit(nCells) frame below: at most
-    // nCells (=16) rows reach it at ANY data scale, so the single
-    // partition is a constant-size reduction, not a bottleneck.
+  /** Deterministic coarse codebook: the nCells lowest vec_ids
+    * (data-independent choice; a k-means refinement would slot in here
+    * without changing the plan shape). The global (unpartitioned) window
+    * fires WindowExec's single-partition warning, but its input is the
+    * limit(nCells) frame: at most nCells rows reach it at ANY data scale,
+    * so the single partition is a constant-size reduction, not a
+    * bottleneck. */
+  private def coarseCodebook(e: DataFrame, nCells: Int): DataFrame = {
     val w0 = Window.orderBy("vec_id")
-    val codebook = e.orderBy("vec_id").limit(nCells)
+    e.orderBy("vec_id").limit(nCells)
       .select((row_number().over(w0) - 1).cast("int").as("cell"),
         col("embedding").as("centroid"), col("n").as("cn"))
-    // argmax cell per vector: max of (score, -cell) picks the smallest cell
-    // on score ties — the same first-max-index rule as array_position.
-    val assigned = e.crossJoin(broadcast(codebook))
+  }
+
+  /** argmax cell per vector: max of (score, -cell) picks the smallest cell
+    * on score ties — the same first-max-index rule as array_position. */
+  private def coarseAssign(e: DataFrame, codebook: DataFrame): DataFrame =
+    e.crossJoin(broadcast(codebook))
       .select(col("vec_id"), col("embedding"), col("n"),
         struct((dot(col("embedding"), col("centroid")) / (col("n") * col("cn"))).as("s"),
           (-col("cell")).as("negc")).as("sc"))
       .groupBy("vec_id")
       .agg(first(col("embedding")).as("embedding"), first(col("n")).as("n"), max(col("sc")).as("best"))
       .select(col("vec_id"), col("embedding"), col("n"), (-col("best.negc")).cast("int").as("cell"))
-    // queries probe their nProbe best cells (desc score, then larger cell —
-    // the reverse-sorted-struct order of the literal formulation)
+
+  /** Queries probe their nProbe best cells (desc score, then larger cell —
+    * the reverse-sorted-struct order of the literal formulation). */
+  private def probedQueries(e: DataFrame, codebook: DataFrame,
+                            nQueries: Int, nProbe: Int): DataFrame = {
     val wq = Window.partitionBy("q").orderBy(desc("cs"), desc("cell"))
-    val queries = e.filter(col("vec_id") < nQueries)
+    e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q"), col("embedding").as("qe"), col("n").as("qn"))
       .crossJoin(broadcast(codebook))
       .select(col("q"), col("qe"), col("qn"), col("cell"),
@@ -227,6 +231,14 @@ object Similarity {
       .withColumn("pr", row_number().over(wq))
       .filter(col("pr") <= nProbe)
       .select(col("q"), col("qe"), col("qn"), col("cell"))
+  }
+
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = withNorms(embeddings)
+    val codebook = coarseCodebook(e, nCells)
+    val assigned = coarseAssign(e, codebook)
+    val queries = probedQueries(e, codebook, nQueries, nProbe)
     val scored = assigned.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("q"))
       .select(col("q"), col("vec_id").as("neighbor"),
@@ -291,6 +303,20 @@ object Similarity {
     * tiny rows. Distances are the same left-to-right double fold as
     * [[dot]], so the DuckDB oracle replays the argmin bit-exactly; ties
     * break to the smallest centroid index via lexicographic struct min. */
+  /** The m contiguous subvector slices of an embedding column. */
+  private def subSlices(c: Column, m: Int, sub: Int): Column =
+    array((0 until m).map(s => slice(c, s * sub + 1, sub)): _*)
+
+  /** PQ codebook as (j, subspace, csub) rows: the subvectors of the k
+    * lowest vec_ids (the data-independent convention shared with
+    * [[coarseCodebook]]). Bounded global window: limit(k) rows only. */
+  private def pqCodebook(e: DataFrame, m: Int, k: Int, sub: Int): DataFrame = {
+    val w0 = Window.orderBy("vec_id")
+    e.orderBy("vec_id").limit(k)
+      .select((row_number().over(w0) - 1).cast("int").as("j"), col("embedding"))
+      .select(col("j"), posexplode(subSlices(col("embedding"), m, sub)).as(Seq("subspace", "csub")))
+  }
+
   def pqCodes(embeddings: DataFrame, m: Int = 4, k: Int = 16, dim: Int = 0): DataFrame = {
     val d = embeddingDim(embeddings, dim)
     val e = embeddings.select(col("vec_id"), col("embedding"))
@@ -301,14 +327,9 @@ object Similarity {
         .filter(lit(false))
     require(d % m == 0, s"embedding dim $d not divisible into $m subspaces")
     val sub = d / m
-    def subSlices(c: Column) = array((0 until m).map(s => slice(c, s * sub + 1, sub)): _*)
-    // Bounded global window: limit(k) rows only (see ivfTopK's codebook).
-    val w0 = Window.orderBy("vec_id")
-    val codebook = e.orderBy("vec_id").limit(k)
-      .select((row_number().over(w0) - 1).cast("int").as("j"), col("embedding"))
-      .select(col("j"), posexplode(subSlices(col("embedding"))).as(Seq("subspace", "csub")))
+    val codebook = pqCodebook(e, m, k, sub)
     val vsubs = e.select(col("vec_id"),
-      posexplode(subSlices(col("embedding"))).as(Seq("subspace", "vsub")))
+      posexplode(subSlices(col("embedding"), m, sub)).as(Seq("subspace", "vsub")))
     // Native codegen fold (graft.functions.SqL2F64) — the scoring
     // projection runs n·m·k times and the defining aggregate(zip_with(…))
     // chain is CodegenFallback, which would exile the whole stage from
@@ -319,6 +340,67 @@ object Similarity {
       .groupBy("vec_id", "subspace")
       .agg(min(col("dj")).as("best"))
       .select(col("vec_id"), col("subspace"), col("best.j").as("code"))
+  }
+
+  /** Composed IVF-PQ top-k with asymmetric-distance computation (ADC) —
+    * the production disk-resident ANN shape [[pqCodes]] exists for: the
+    * corpus is stored as (cell, PQ codes) only; a query probes its
+    * `nProbe` nearest coarse cells and scores every candidate from the
+    * m-entry per-query distance lookup table, never touching the
+    * candidate's full vector.
+    *
+    * Scale shape: the only full-width frames are the bounded codebooks and
+    * the nQueries query rows. Candidates = an equi-join of the (vec_id,
+    * cell) assignment against the broadcast probe set; the LUT join is a
+    * broadcast of nQueries·m·kCodes integer rows; the per-candidate ADC
+    * sum collapses in the map-side partial (all m rows of a (q, candidate)
+    * group are produced in the same task by the broadcast joins), so the
+    * one exchange carries candidate-count tiny integer rows.
+    *
+    * Hash-gate determinism: LUT entries are quantized to integer
+    * fixed-point — `floor(sqL2(qsub, csub) · 1e6)` as BIGINT — because a
+    * grouped SUM of doubles is accumulation-order-dependent, while a sum
+    * of BIGINTs is exact and order-free. The double fold underneath is the
+    * same left-to-right [[sqL2]] both engines replay bit-identically, and
+    * IEEE multiply + floor preserve that, so the DuckDB oracle reproduces
+    * every LUT entry exactly. Approximate (PQ is lossy); OpsSpec asserts
+    * recall vs [[bruteTopK]]. Output (q, neighbor, rank) is integer-only. */
+  def ivfPqTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 4, kCodes: Int = 16, dim: Int = 0): DataFrame = {
+    val d = embeddingDim(embeddings, dim)
+    if (d == 0)
+      return embeddings.select(col("vec_id").as("q"), col("vec_id").as("neighbor"),
+        lit(0).as("rank")).filter(lit(false))
+    require(d % m == 0, s"embedding dim $d not divisible into $m subspaces")
+    val sub = d / m
+    val e = withNorms(embeddings)
+    val codebook = coarseCodebook(e, nCells)
+    val assigned = coarseAssign(e, codebook).select("vec_id", "cell")
+    val probes = probedQueries(e, codebook, nQueries, nProbe).select("q", "cell")
+    // a (q, candidate) pair can meet in more than one probed cell
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id"))
+      .distinct()
+    val codes = pqCodes(embeddings, m, kCodes, d)
+    // per-query ADC lookup table: integer fixed-point distance from each
+    // query subvector to each PQ centroid (see determinism note above)
+    val lut = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q"),
+        posexplode(subSlices(col("embedding"), m, sub)).as(Seq("subspace", "qsub")))
+      .join(broadcast(pqCodebook(embeddings.select(col("vec_id"), col("embedding")), m, kCodes, sub)),
+        Seq("subspace"))
+      .select(col("q"), col("subspace"), col("j").as("code"),
+        floor(sqL2(col("qsub"), col("csub")) * lit(1e6)).as("dq"))
+    val scored = codes.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(lut), Seq("q", "subspace", "code"))
+      .groupBy("q", "vec_id")
+      .agg(sum(col("dq")).as("adc"))
+    val w = Window.partitionBy("q").orderBy(col("adc"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("vec_id").as("neighbor"), col("rank"))
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, brute force over

@@ -264,6 +264,35 @@ class OpsSpec extends SparkSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF-PQ ADC top-k: recall vs brute force; integer-only output; self excluded") {
+    import spark.implicits._
+    val brute = Similarity.bruteTopK(embeddings, 16, 5).as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val ivfpq = Similarity.ivfPqTopK(embeddings, 16, 5, dim = 64).as[(Long, Long, Int)].collect()
+    val pairs = ivfpq.map(r => (r._1, r._2)).toSet
+    // doubly approximate (coarse probe recall x PQ distance distortion);
+    // the point is the composition's shape — but it must still beat noise
+    val recall = (brute intersect pairs).size.toDouble / brute.size
+    assert(recall > 0.1, f"IVF-PQ recall $recall%.2f unreasonably low")
+    assert(ivfpq.forall(r => r._1 != r._2), "a query ranked itself")
+    // every query that probed a non-empty cell set gets at most k rows,
+    // ranked 1..n densely
+    ivfpq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"ranks not dense for q=$q")
+      assert(rows.length <= 5)
+    }
+    // probing ALL cells makes the coarse stage exhaustive: candidates =
+    // every other vector, so every query fills its full k=5. (Recall is NOT
+    // monotone in nProbe — measured here: more candidates under the
+    // distorted PQ metric can displace true neighbors from the top-k — so
+    // only the coverage contract is asserted.)
+    val full = Similarity.ivfPqTopK(embeddings, 16, 5, nProbe = 16, dim = 64)
+      .as[(Long, Long, Int)].collect()
+    assert(full.length == 16 * 5, s"exhaustive probe returned ${full.length} rows, not 80")
+    val fullRecall = (brute intersect full.map(r => (r._1, r._2)).toSet).size.toDouble / brute.size
+    assert(fullRecall > 0.1, f"exhaustive-probe ADC recall $fullRecall%.2f unreasonably low")
+  }
+
   test("LSH near-dup pairs: subset of exact pairs, reasonable recall, cap bounds fan-out") {
     import spark.implicits._
     val exact = Similarity.cosineNearDupPairs(embeddings, 0.35, Long.MaxValue)
