@@ -65,6 +65,31 @@ object SparkEntry {
         .select("subj", "pred", "obj", "graph")
     }),
 
+    // Driver-gated STREAMING ingest (r4 verdict #4): parse → nt text sink →
+    // checkpointed Trigger.AvailableNow readStream (durable file log,
+    // exactly-once admission in bounded micro-batches) → parquet append
+    // sink → batch read-back. Hash-equality with the same expected-triples
+    // oracle as kg_nt_roundtrip proves the streaming path emits exactly the
+    // batch result through the same gate as every batch op. Scratch dirs
+    // are unique PER INVOCATION: a reused checkpoint over a rewritten nt
+    // dir (new part-file UUIDs) would re-admit every file and double the
+    // sink — the file log is keyed by path, not content.
+    "kg_stream_ingest" -> ((s, dir) => {
+      val root = scratchDir("st_in_" + Integer.toHexString(dir.hashCode)
+        + "_" + streamRunSeq.incrementAndGet())
+      Materialize.ntriples(ParseStage.parsedTranscripts(s, dir).toDF(), s"$root/nt")
+      val q = graft.sources.NTriples.stream(s, s"$root/nt", maxFilesPerTrigger = 8)
+        .filter(col("error").isNull)
+        .select("subj", "pred", "obj")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/out").select("subj", "pred", "obj")
+    }),
+
     // P2: conversation reconstruction + per-turn text equality evidence
     "kg_turn_text" -> ((s, dir) =>
       ParseStage.reconstructConversations(Transcripts.transcripts(s, dir))
@@ -461,8 +486,8 @@ object SparkEntry {
     // oracle encodes Spark's "smallest value with cume_dist >= p" definition
     // directly rather than trusting DuckDB's quantile indexing to agree.
     // Exact disc percentiles buffer each group's values; at 100 TB the scale
-    // path is approx_percentile (t-digest, mergeable partials) — the exact
-    // form here is the correctness gate.
+    // path is approx_percentile (mergeable sketch partials) — gated by the
+    // q_quantile_approx sandwich below.
     "q_quantile" -> ((s, dir) =>
       // direct-file SQL (`parquet.`) keeps the registry query free of
       // catalog side effects — no temp view outlives the call
@@ -470,6 +495,25 @@ object SparkEntry {
         percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
         percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price,
         COUNT(DISTINCT l_partkey) AS n_parts
+        FROM parquet.`$dir/lineitem.parquet` GROUP BY l_returnflag""")),
+
+    // Sandwich gate for the SCALE path: approx_percentile (mergeable
+    // sketch, map-side partials — what a 100 TB quantile actually runs)
+    // cannot hash-gate its raw output cross-engine (Spark's GK sketch and
+    // DuckDB's t-digest disagree in the last decimals), so the gated row is
+    // the INTEGER claim "the approximation lands inside the exact
+    // [p-0.02, p+0.02] percentile sandwich". accuracy=10000 bounds rank
+    // error at n/10000 — two orders inside the ±2% window — so a green
+    // hash is a real property of the sketch, and any future regression of
+    // the approx path flips the flag to 0 and fails the gate.
+    "q_quantile_approx" -> ((s, dir) =>
+      s.sql(s"""SELECT l_returnflag,
+        CAST(approx_percentile(l_quantity, 0.5, 10000) BETWEEN
+          percentile_disc(0.48) WITHIN GROUP (ORDER BY l_quantity) AND
+          percentile_disc(0.52) WITHIN GROUP (ORDER BY l_quantity) AS INT) AS p50_in_bounds,
+        CAST(approx_percentile(l_extendedprice, 0.9, 10000) BETWEEN
+          percentile_disc(0.88) WITHIN GROUP (ORDER BY l_extendedprice) AND
+          percentile_disc(0.92) WITHIN GROUP (ORDER BY l_extendedprice) AS INT) AS p90_in_bounds
         FROM parquet.`$dir/lineitem.parquet` GROUP BY l_returnflag""")),
 
     // CDC upsert merge: snapshot + two versioned delta batches (upserts,
@@ -504,6 +548,10 @@ object SparkEntry {
   }
 
   private def scratchDir(name: String): String = scratchRoot.resolve(name).toString
+
+  /** Monotone per-JVM sequence for streaming-query scratch dirs (see
+    * kg_stream_ingest — a checkpoint must never see a rewritten source). */
+  private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   // ------------------------------------------------------------------ oracles
 
@@ -900,6 +948,8 @@ codes AS (SELECT vec_id, subspace, j AS code FROM (SELECT vec_id, subspace, j, r
         "JOIN capped y ON x.band = y.band AND x.bkey = y.bkey AND x.mention < y.mention"),
     "kg_triples" -> s"$expectedTriplesCte SELECT conv_id, turn_idx, subj, pred, obj FROM expected",
     "kg_nt_roundtrip" -> s"$expectedTriplesCte SELECT subj, pred, obj FROM expected",
+    // the streaming ingest must land exactly the batch triples — same oracle
+    "kg_stream_ingest" -> s"$expectedTriplesCte SELECT subj, pred, obj FROM expected",
     "kg_nq_roundtrip" ->
       s"$expectedTriplesCte SELECT subj, pred, obj, '<http://graft.dev/graph/corpus>' AS graph FROM expected",
     // Non-zero by construction (the seeded malformed docs): the hash gate
@@ -1379,6 +1429,13 @@ MIN(CASE WHEN cd_q >= 0.5 THEN l_quantity END) AS p50_qty,
 MIN(CASE WHEN cd_p >= 0.9 THEN l_extendedprice END) AS p90_price,
 COUNT(DISTINCT l_partkey) AS n_parts
 FROM r GROUP BY 1""",
+
+    // the oracle states the EXPECTED sandwich verdict (1 per group, both
+    // percentiles): only the Spark side runs a sketch, so the oracle's job
+    // is to pin the group keys and the all-in-bounds claim
+    "q_quantile_approx" ->
+      """SELECT l_returnflag, CAST(1 AS INTEGER) AS p50_in_bounds,
+CAST(1 AS INTEGER) AS p90_in_bounds FROM lineitem GROUP BY 1""",
 
     // CDC upsert merge, latest version wins, tombstones drop the key,
     // version-2 upserts resurrect version-1-deleted keys
