@@ -175,6 +175,28 @@ class ManualCasesSpec extends AnyFunSuite {
     assert(TestSupport.isomorphic(ts, expected))
   }
 
+  test("reference quirk: subject and property attributes on a non-rdf:RDF ROOT node element are dropped (lib:325,435,500)") {
+    // onTagResource interprets rdf:about/ID/nodeID only when parentTag is
+    // set, and emits collected property attributes only inside the
+    // `if (parentTag)` block — so the root node element of a document
+    // without an rdf:RDF wrapper is always a FRESH blank node and its
+    // non-xml attributes produce no triples. Pinned so a future "fix"
+    // toward the W3C reading (root rdf:about = subject) can't slip in
+    // silently and diverge from the reference.
+    val doc = """<?xml version="1.0"?>
+<Book xmlns="http://example.org/terms#" xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      rdf:about="http://example.org/node" xmlns:eg="http://example.org/" eg:shelf="a3">
+  <title>Harry</title>
+</Book>"""
+    val Right(ts) = RdfXmlParser.parse(doc, ParserOptions(baseIRI = "http://base.example/"))
+    val expected = Vector(
+      TestSupport.quad("_:b", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://example.org/terms#Book"),
+      TestSupport.quad("_:b", "http://example.org/terms#title", "\"Harry\""),
+    )
+    assert(TestSupport.isomorphic(ts, expected),
+      s"root-attr quirk drifted:\n${TestSupport.describe(ts)}")
+  }
+
   test("custom default base IRI from options") {
     val doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
       xmlns:eg="http://example.org/"><rdf:Description rdf:about="rel"><eg:p rdf:resource="x"/></rdf:Description></rdf:RDF>"""
