@@ -90,6 +90,18 @@ object SparkEntry {
       s.read.parquet(s"$root/out").select("subj", "pred", "obj")
     }),
 
+    // Dictionary-encoded materialization round trip (r4 verdict #8): the
+    // corpus triples encode to BIGINT content-hash ids (map-only, no
+    // dictionary join) and decode back through three id joins; hash-equality
+    // with the expected-triples oracle gates the whole encode/decode pair —
+    // any fnv1a64 id collision would fan the join out and fail the gate.
+    "q_dict_roundtrip" -> ((s, dir) => {
+      val parsed = ParseStage.parsedTranscripts(s, dir).toDF()
+        .filter(col("error").isNull).select("subj", "pred", "obj")
+      Materialize.decodeTriples(
+        Materialize.encodeTriples(parsed), Materialize.termDictionary(parsed))
+    }),
+
     // P2: conversation reconstruction + per-turn text equality evidence
     "kg_turn_text" -> ((s, dir) =>
       ParseStage.reconstructConversations(Transcripts.transcripts(s, dir))
@@ -950,6 +962,8 @@ codes AS (SELECT vec_id, subspace, j AS code FROM (SELECT vec_id, subspace, j, r
     "kg_nt_roundtrip" -> s"$expectedTriplesCte SELECT subj, pred, obj FROM expected",
     // the streaming ingest must land exactly the batch triples — same oracle
     "kg_stream_ingest" -> s"$expectedTriplesCte SELECT subj, pred, obj FROM expected",
+    // dictionary encode→decode is an identity over the same triple multiset
+    "q_dict_roundtrip" -> s"$expectedTriplesCte SELECT subj, pred, obj FROM expected",
     "kg_nq_roundtrip" ->
       s"$expectedTriplesCte SELECT subj, pred, obj, '<http://graft.dev/graph/corpus>' AS graph FROM expected",
     // Non-zero by construction (the seeded malformed docs): the hash gate

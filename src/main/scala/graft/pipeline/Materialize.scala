@@ -100,6 +100,45 @@ object Materialize {
       .format("parquet")
       .saveAsTable(table)
 
+  // ------------------------------------------------- dictionary encoding
+
+  /** Dictionary-encoded term materialization — the shuffle-width win at
+    * 100 TB: downstream joins/aggregations move 8-byte BIGINT term ids
+    * instead of full IRI/literal strings, so every exchange, sort buffer,
+    * and bucketed file shrinks by roughly the mean term length. Ids are
+    * CONTENT hashes (the native codegen `fnv1a64`), which makes
+    * [[encodeTriples]] MAP-ONLY — no join against the dictionary and no
+    * global row_number (dense-id assignment is a single-partition sort at
+    * any scale; a hash id needs neither). The dictionary is one distinct
+    * over the exploded terms and exists only for decode-time join-back.
+    * 64-bit FNV keeps the DuckDB oracle replayable (`q_dict_roundtrip`'s
+    * join-back identity would fan out and fail the gate on any collision);
+    * a production 100 TB deployment widens to a 128-bit hash for birthday
+    * headroom without changing the plan shape. */
+  def termDictionary(triples: DataFrame): DataFrame =
+    triples
+      .select(explode(array(col("subj"), col("pred"), col("obj"))).as("term"))
+      .distinct()
+      .select(graft.functions.GraftFunctions.fnv1a64(col("term")).as("term_id"), col("term"))
+
+  /** (s_id, p_id, o_id) BIGINT rows, one per input triple (multiplicity
+    * preserved); narrow projection, no exchange — plan-pinned. */
+  def encodeTriples(triples: DataFrame): DataFrame =
+    triples.select(
+      graft.functions.GraftFunctions.fnv1a64(col("subj")).as("s_id"),
+      graft.functions.GraftFunctions.fnv1a64(col("pred")).as("p_id"),
+      graft.functions.GraftFunctions.fnv1a64(col("obj")).as("o_id"))
+
+  /** Join-back decode: three equi-joins against the dictionary (AQE picks
+    * broadcast when the dictionary is small; at 100 TB it is a shuffle
+    * join, still keyed on 8-byte ids). Restores (subj, pred, obj). */
+  def decodeTriples(encoded: DataFrame, dict: DataFrame): DataFrame =
+    encoded
+      .join(dict.select(col("term_id").as("s_id"), col("term").as("subj")), Seq("s_id"))
+      .join(dict.select(col("term_id").as("p_id"), col("term").as("pred")), Seq("p_id"))
+      .join(dict.select(col("term_id").as("o_id"), col("term").as("obj")), Seq("o_id"))
+      .select("subj", "pred", "obj")
+
   /** N-Triples text sink — the line-based interchange serialization the
     * reference ecosystem round-trips through (its quad streams feed
     * N-Triples writers downstream). The subj/pred/obj columns already carry

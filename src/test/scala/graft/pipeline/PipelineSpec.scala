@@ -198,4 +198,20 @@ class PipelineSpec extends SparkSuite {
     val hot = Skew.hotKeys(big, "key", 2).collect().map(_.getString(0))
     assert(hot.length == 2)
   }
+
+  test("dictionary encoding: collision-free ids, dict covers terms, decode is an identity") {
+    import spark.implicits._
+    val parsed = ParseStage.parsedTranscripts(spark, sfDir).toDF()
+      .filter(col("error").isNull).select("subj", "pred", "obj")
+      .localCheckpoint(true)
+    val dict = Materialize.termDictionary(parsed).localCheckpoint(true)
+    val nTerms = parsed.select(explode(array(col("subj"), col("pred"), col("obj"))).as("t"))
+      .distinct().count()
+    assert(dict.count() == nTerms)
+    // content-hash ids: a collision would make decode fan out; pin directly
+    assert(dict.select("term_id").distinct().count() == nTerms, "fnv1a64 id collision")
+    val decoded = Materialize.decodeTriples(Materialize.encodeTriples(parsed), dict)
+    assert(decoded.count() == parsed.count())
+    assert(decoded.exceptAll(parsed).count() == 0 && parsed.exceptAll(decoded).count() == 0)
+  }
 }

@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.SparkEntry
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan hygiene: the properties that make these operators behave
   * at 100 TB are asserted from the actual optimized plans, not hoped for —
@@ -285,5 +286,20 @@ class PlanSpec extends SparkSuite {
     val pc = plan(contribs)
     assert(!pc.contains("CartesianProduct"), pc)
     assert(pc.contains("partial_sum"), pc)
+  }
+
+  test("dictionary encode is map-only (content-hash ids, no Exchange, no join)") {
+    // over a STORED triple table (the materialized snapshot a consumer
+    // encodes), not the parse pipeline — whose own reconstruction window
+    // legitimately shuffles upstream of the encode projection. Parquet, not
+    // a local Seq: constant folding evaluates fnv1a64 over literal rows at
+    // plan time and leaves only a LocalTableScan to inspect.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dict").toString + "/t"
+    Seq(("<s>", "<p>", "<o>")).toDF("subj", "pred", "obj").write.parquet(dir)
+    val p = plan(Materialize.encodeTriples(spark.read.parquet(dir)))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("fnv1a64"), p)
   }
 }
