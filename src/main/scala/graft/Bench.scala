@@ -88,28 +88,30 @@ object Bench {
     s
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cores = Runtime.getRuntime.availableProcessors()
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", cores.toString).toInt
+  /** Per-query suite timings + the bracketing calibration probes. */
+  private final case class SuiteResult(
+      results: Seq[(String, Double)],
+      runs: Seq[(String, Seq[Double])],
+      calibStart: Double,
+      calibEnd: Double)
 
-    // ---- Operator suite at full parallelism. Runs AFTER the scaling
-    // measurement: the query suite leaves the shared JVM heap in a state
-    // (old-gen garbage, fragmented regions) that measurably taxes the
-    // GC-sensitive high-parallelism legs — full runs measured 0.47-0.63
-    // scaling when the suite ran first vs 0.79-0.89 when it did not.
-    //
-    // Weather-proofing (r3 verdict #1): this VM's deliverable CPU swings
-    // ~2× across minutes-long hypervisor episodes, and single-shot per-query
-    // timings made cross-round comparisons meaningless (the same binary
-    // measured 3.4× apart 15 minutes apart). Each query is therefore timed
-    // TWICE with the MIN reported (a min is robust to one throttle spike but
-    // still honest — it cannot be lower than the code allows), and the suite
-    // is BRACKETED by a fixed calibration probe (a 256-turn parse, timed)
-    // whose start/end values go into the JSON: a degraded-VM run is
-    // self-evident as an inflated or start/end-divergent probe, without
-    // having to trust the per-query numbers to show it.
-    def runQuerySuite(): (Seq[(String, Double)], Seq[(String, Seq[Double])], Double, Double) = {
+  // ---- Operator suite at full parallelism. Runs AFTER the scaling
+  // measurement: the query suite leaves the shared JVM heap in a state
+  // (old-gen garbage, fragmented regions) that measurably taxes the
+  // GC-sensitive high-parallelism legs — full runs measured 0.47-0.63
+  // scaling when the suite ran first vs 0.79-0.89 when it did not.
+  //
+  // Weather-proofing (r3 verdict #1): this VM's deliverable CPU swings
+  // ~2× across minutes-long hypervisor episodes, and single-shot per-query
+  // timings made cross-round comparisons meaningless (the same binary
+  // measured 3.4× apart 15 minutes apart). Each query is therefore timed
+  // TWICE with the MIN reported (a min is robust to one throttle spike but
+  // still honest — it cannot be lower than the code allows), and the suite
+  // is BRACKETED by a fixed calibration probe (a 256-turn parse, timed)
+  // whose start/end values go into the JSON: a degraded-VM run is
+  // self-evident as an inflated or start/end-divergent probe, without
+  // having to trust the per-query numbers to show it.
+  private def runQuerySuite(sfDir: String, cpus: Int): SuiteResult = {
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
     val spark1 = session(cpus)
     // Warm the session on the ENGINE's own hot paths, not just generic Spark
@@ -185,12 +187,17 @@ object Bench {
     spark1.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-      // raw runs for the JSON: a failed attempt is reported as its NEGATED
-      // wall time, so the record keeps both the failure and its duration
-      (results,
-        runs.map { case (n, at) => n -> at.map { case (ok, s) => if (ok) s else -s } },
-        calibStart, calibEnd)
-    }
+    // raw runs for the JSON: a failed attempt is reported as its NEGATED
+    // wall time, so the record keeps both the failure and its duration
+    SuiteResult(results,
+      runs.map { case (n, at) => n -> at.map { case (ok, s) => if (ok) s else -s } },
+      calibStart, calibEnd)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cores = Runtime.getRuntime.availableProcessors()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", cores.toString).toInt
 
     // ---- Scaling evidence FIRST (clean JVM), N vs 4N threads, identical input.
     // N = cores/8 (→ 4 on this box) so 4N stays within the machine's
@@ -207,9 +214,9 @@ object Bench {
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
 
     if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) {
-      val (results, runs, calibStart, calibEnd) = runQuerySuite()
-      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-      emit(f"""{"metric":"total","value":${results.map(_._2).sum}%.2f,"unit":"sec","queries":$qs0,"sf":"$sfDir",${calibrationJson(runs, calibStart, calibEnd)}}""")
+      val suite = runQuerySuite(sfDir, cpus)
+      val qs0 = suite.results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      emit(f"""{"metric":"total","value":${suite.results.map(_._2).sum}%.2f,"unit":"sec","queries":$qs0,"sf":"$sfDir",${calibrationJson(suite)}}""")
       return
     }
 
@@ -284,31 +291,30 @@ object Bench {
     val (_, secsMax) = if (cpus > 4 * n) measure(cpus, 3) else (triples, secsHigh)
 
     // Query suite last — see runQuerySuite's comment.
-    val (results, runs, calibStart, calibEnd) = runQuerySuite()
+    val suite = runQuerySuite(sfDir, cpus)
 
     val tpsLow = triples / secsLow
     val tpsHigh = triples / secsHigh
     val tpsMax = triples / secsMax
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = suite.results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = suite.results.map(_._2).sum
     val pairsJson = pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
     val scaling =
       f"""{"cores_low":$n,"cores_high":${4 * n},"triples":$triples,"secs_low":$secsLow%.2f,"secs_high":$secsHigh%.2f,"tps_low":$tpsLow%.0f,"tps_high":$tpsHigh%.0f,"efficiency":$efficiency%.3f,"efficiency_median":$efficiency%.3f,"efficiency_trimmed_median":$effTrimmed%.3f,"efficiency_best":${pairEffs.max}%.3f,"efficiency_minratio":$effMinRatio%.3f,"pair_efficiencies":$pairsJson,"cores_max":$cpus,"tps_max":$tpsMax%.0f}"""
     emit(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","triples_per_sec":$tpsMax%.0f,${calibrationJson(runs, calibStart, calibEnd)},"scaling":$scaling}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","triples_per_sec":$tpsMax%.0f,${calibrationJson(suite)},"scaling":$scaling}""")
   }
 
   /** JSON fragment: per-query raw runs (min is what `queries` reports) plus
     * the bracketing calibration probes — identical fixed work timed at suite
     * start and end, so a degraded-VM window is visible in the output itself
     * instead of masquerading as a per-query regression (r3 verdict #1). */
-  private def calibrationJson(runs: Seq[(String, Seq[Double])],
-                              calibStart: Double, calibEnd: Double): String = {
-    val raw = runs.map { case (k, ss) =>
+  private def calibrationJson(suite: SuiteResult): String = {
+    val raw = suite.runs.map { case (k, ss) =>
       "\"" + k + "\":" + ss.map(s => f"$s%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    f""""queries_runs":$raw,"calibration":{"probe_start_sec":$calibStart%.3f,"probe_end_sec":$calibEnd%.3f,"probe":"parse-256-turns"}"""
+    f""""queries_runs":$raw,"calibration":{"probe_start_sec":${suite.calibStart}%.3f,"probe_end_sec":${suite.calibEnd}%.3f,"probe":"parse-256-turns"}"""
   }
 
   /** Print the one-line JSON (driver contract) AND mirror it to a plain file:
