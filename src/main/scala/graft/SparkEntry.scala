@@ -273,6 +273,14 @@ object SparkEntry {
     // disk-resident ANN shape (see Similarity.ivfPqTopK's determinism note)
     "sim_ivfpq_topk" -> ((s, dir) =>
       graft.ops.Similarity.ivfPqTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5, dim = 64)),
+    // ANN evaluation of the composed path: recall@5 vs brute force as the
+    // integer per-query hit count (rank-agnostic, float-free)
+    "sim_ivfpq_recall" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.Similarity.recallAtK(
+        graft.ops.Similarity.bruteTopK(e, 16, 5),
+        graft.ops.Similarity.ivfPqTopK(e, 16, 5, dim = 64))
+    }),
     // scale-path near-dup pairs: LSH bucket blocking + exact-cosine verify
     // over the FULL table (vs sim_neardup's bounded-cartesian exact tool)
     "sim_lsh_neardup" -> ((s, dir) =>
@@ -950,6 +958,25 @@ vsub AS (SELECT vec_id, CAST(sp.s AS INTEGER) AS subspace, e.embedding[sp.s*16+1
 pqscore AS (SELECT vec_id, subspace, j, ${sqL2Sql("vsub", "csub")} AS d FROM vsub JOIN cbsub USING (subspace)),
 codes AS (SELECT vec_id, subspace, j AS code FROM (SELECT vec_id, subspace, j, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d, j) AS rn FROM pqscore) t WHERE rn = 1)"""
 
+  /** Composed IVF-PQ ADC, self-contained: coarse candidates (ivfCandCtes),
+    * PQ codes (pqCtes), per-query LUT quantized to integer fixed-point
+    * (floor(d·1e6) — a grouped SUM of doubles is accumulation-order-
+    * dependent; BIGINT sums are exact), rank ascending by ADC distance.
+    * The lut reuses pqscore: a query's subvector distances to the PQ
+    * centroids are exactly its own pqscore rows. Shared by
+    * `sim_ivfpq_topk` and the recall composition. */
+  private def simIvfPqTopkSql: String =
+    s"""WITH $ivfCandCtes,
+$pqCtes,
+lut AS (SELECT vec_id AS q, subspace, j AS code, CAST(floor(d * 1000000.0) AS BIGINT) AS dq FROM pqscore WHERE vec_id < 16),
+adc AS (SELECT c.q, c.neighbor, SUM(l.dq) AS adist
+        FROM cand c JOIN codes co ON co.vec_id = c.neighbor
+        JOIN lut l ON l.q = c.q AND l.subspace = co.subspace AND l.code = co.code
+        GROUP BY 1, 2)
+SELECT q, neighbor, CAST(rk AS INTEGER) AS rank FROM
+  (SELECT q, neighbor, row_number() OVER (PARTITION BY q ORDER BY adist, neighbor) AS rk FROM adc) t
+WHERE rk <= 5"""
+
   def oracleSql: Map[String, String] = Map(
     "kg_minhash_sig" -> minhashSigSql,
     // LSH candidate pairs are a deterministic composition of the bit-exact
@@ -1182,23 +1209,14 @@ WHERE ${dotSql("x.embedding", "y.embedding")} / (x.n * y.n) >= 0.35""",
     "sim_pq_codes" ->
       s"WITH $pqCtes SELECT vec_id, subspace, code FROM codes",
 
-    // Composed IVF-PQ ADC: coarse candidates (shared ivfCandCtes), PQ codes
-    // (shared pqCtes), per-query LUT quantized to integer fixed-point
-    // (floor(d·1e6) — a grouped SUM of doubles is accumulation-order-
-    // dependent; BIGINT sums are exact), rank ascending by ADC distance.
-    // The lut reuses pqscore: a query's subvector distances to the PQ
-    // centroids are exactly its own pqscore rows.
-    "sim_ivfpq_topk" ->
-      s"""WITH $ivfCandCtes,
-$pqCtes,
-lut AS (SELECT vec_id AS q, subspace, j AS code, CAST(floor(d * 1000000.0) AS BIGINT) AS dq FROM pqscore WHERE vec_id < 16),
-adc AS (SELECT c.q, c.neighbor, SUM(l.dq) AS adist
-        FROM cand c JOIN codes co ON co.vec_id = c.neighbor
-        JOIN lut l ON l.q = c.q AND l.subspace = co.subspace AND l.code = co.code
-        GROUP BY 1, 2)
-SELECT q, neighbor, CAST(rk AS INTEGER) AS rank FROM
-  (SELECT q, neighbor, row_number() OVER (PARTITION BY q ORDER BY adist, neighbor) AS rk FROM adc) t
-WHERE rk <= 5""",
+    // Composed IVF-PQ ADC (shared ivfCandCtes + pqCtes; see simIvfPqTopkSql).
+    "sim_ivfpq_topk" -> simIvfPqTopkSql,
+    // Recall@k of the composed path vs brute force — same membership-only
+    // join and BIGINT-safe COUNT(col) as sim_lsh_recall.
+    "sim_ivfpq_recall" ->
+      s"""SELECT e.q, COUNT(a.neighbor) AS n_hits
+FROM ($simTopkSql) e LEFT JOIN ($simIvfPqTopkSql) a ON a.q = e.q AND a.neighbor = e.neighbor
+GROUP BY e.q""",
 
     "text_quality" ->
       """SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars,
