@@ -203,7 +203,8 @@ object SparkEntry {
       // the universe feeds two independent aggregations below — cut once
       val universe = Ner.mentionUniverse(t).localCheckpoint(true)
       val hotConvs = Ner.mentions(t).select("conv_id", "mention").distinct()
-        .groupBy("conv_id").agg(count(lit(1)).as("k")).filter(col("k") > 256)
+        .groupBy("conv_id").agg(count(lit(1)).as("k"))
+        .filter(col("k") > graft.ops.GraphAnalytics.DefaultMaxPerGroup)
         .agg(count(lit(1)).as("n")).select(lit("cooccur_group").as("cap"), col("n"))
       val hotBuckets = Linking.lshBuckets(universe)
         .groupBy("band", "bandKey").agg(count(lit(1)).as("k"))
@@ -214,7 +215,8 @@ object SparkEntry {
         .filter(col("df") > Linking.DefaultMaxShingleDf)
         .agg(count(lit(1)).as("n")).select(lit("shingle_df").as("cap"), col("n"))
       val hotMids = graft.ops.GraphAnalytics.nodeEdges(ParseStage.parsedTranscripts(s, dir).toDF())
-        .groupBy("src").agg(count(lit(1)).as("outdeg")).filter(col("outdeg") > 1024)
+        .groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .filter(col("outdeg") > graft.ops.GraphAnalytics.DefaultMaxMidOut)
         .agg(count(lit(1)).as("n")).select(lit("twohop_mid").as("cap"), col("n"))
       hotConvs.unionAll(hotBuckets).unionAll(hotShingles).unionAll(hotMids)
     }),
@@ -1022,12 +1024,12 @@ SELECT u AS node, min(v) AS component FROM reach GROUP BY u""",
     "kg_linked" ->
       s"""$mentionCtes,
 dict AS (SELECT c_name AS entity_name FROM customer UNION ALL SELECT s_name FROM supplier),
--- >18-digit ids (the seeded celebrity mentions) parse to NULL and never
--- join, mirroring Linking.eidOf's ANSI-safe length guard
+-- ids that don't fit a BIGINT (the seeded ~70-digit celebrity mentions)
+-- TRY_CAST to NULL and never join, mirroring Linking.eidOf's try_cast
 dk AS (SELECT entity_name, split_part(entity_name, '#', 1) AS etype,
-              CASE WHEN len(split_part(entity_name, '#', 2)) <= 18 THEN CAST(split_part(entity_name, '#', 2) AS BIGINT) END AS eid FROM dict),
+              TRY_CAST(split_part(entity_name, '#', 2) AS BIGINT) AS eid FROM dict),
 mk AS (SELECT mention, split_part(mention, '#', 1) AS etype,
-              CASE WHEN len(split_part(mention, '#', 2)) <= 18 THEN CAST(split_part(mention, '#', 2) AS BIGINT) END AS eid FROM m)
+              TRY_CAST(split_part(mention, '#', 2) AS BIGINT) AS eid FROM m)
 SELECT mention, entity_name FROM mk JOIN dk USING (etype, eid)""",
     "kg_adjacency" ->
       s"$expectedTriplesCte SELECT subj, COUNT(*) AS degree, COUNT(DISTINCT pred) AS n_pred FROM expected GROUP BY subj",
@@ -1039,7 +1041,7 @@ SELECT mention, entity_name FROM mk JOIN dk USING (etype, eid)""",
 SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree""",
     "kg_2hop" ->
       s"""$graphEdgesCte,
-okmid AS (SELECT src AS mid FROM edges GROUP BY src HAVING COUNT(*) <= 1024)
+okmid AS (SELECT src AS mid FROM edges GROUP BY src HAVING COUNT(*) <= ${graft.ops.GraphAnalytics.DefaultMaxMidOut})
 SELECT e1.src AS src, COUNT(DISTINCT e2.dst) AS n_2hop
 FROM edges e1 JOIN okmid m ON e1.dst = m.mid JOIN edges e2 ON e1.dst = e2.src
 GROUP BY e1.src""",
@@ -1048,30 +1050,32 @@ GROUP BY e1.src""",
     "kg_pagerank" -> pageRankSql(iterations = 3, scale = 1000000000L),
     "kg_bfs" -> bfsSql(maxHops = 3),
     // co-occurrence over DISTINCT (conv, mention); `occ` comes from
-    // mentionCtes. 256 mirrors GraphAnalytics.cooccurrence's default cap;
+    // mentionCtes. The cap interpolates GraphAnalytics.DefaultMaxPerGroup;
     // the seeded celebrity conversation (conv-11, > 1030 distinct mentions
     // at every sf) is excluded by it on BOTH engines, so the hash pins the
     // cap actually firing — kg_cap_fired pins the excluded-group count.
     "kg_cooccur" ->
       s"""$mentionCtes,
 cm AS (SELECT DISTINCT conv_id, mention FROM occ),
-okc AS (SELECT conv_id FROM cm GROUP BY conv_id HAVING COUNT(*) <= 256),
+okc AS (SELECT conv_id FROM cm GROUP BY conv_id HAVING COUNT(*) <= ${graft.ops.GraphAnalytics.DefaultMaxPerGroup}),
 cmm AS (SELECT cm.conv_id, cm.mention FROM cm JOIN okc USING (conv_id))
 SELECT x.mention AS a, y.mention AS b, COUNT(*) AS n_convs
 FROM cmm x JOIN cmm y ON x.conv_id = y.conv_id AND x.mention < y.mention
 GROUP BY 1, 2""",
 
     // caps-fire evidence: the four exclusion counts, re-derived in SQL.
-    // 256 = cooccurrence maxPerGroup, 1024 = DefaultMaxBucketSize and the
-    // 2-hop maxMidOut, 1000 = DefaultMaxShingleDf. The graph part nests the
-    // expected-triples WITH chain as a subquery (its CTE names `d`/`edges`
-    // would collide with mentionCtes'; DuckDB scopes inner CTEs).
+    // Every threshold is interpolated from the operator's own named default
+    // (GraphAnalytics.DefaultMaxPerGroup/DefaultMaxMidOut,
+    // Linking.DefaultMaxBucketSize/DefaultMaxShingleDf) — a default change
+    // cannot decouple the evidence from the cap applied. The graph part
+    // nests the expected-triples WITH chain as a subquery (its CTE names
+    // `d`/`edges` would collide with mentionCtes'; DuckDB scopes inner CTEs).
     "kg_cap_fired" ->
       (s"$mentionCtes${minhashChain("mention")}${lshBandsCte("mention")}" +
         s"""
 SELECT 'cooccur_group' AS cap, COUNT(*) AS n FROM (
   SELECT conv_id FROM (SELECT DISTINCT conv_id, mention FROM occ) cm
-  GROUP BY conv_id HAVING COUNT(*) > 256) t
+  GROUP BY conv_id HAVING COUNT(*) > ${graft.ops.GraphAnalytics.DefaultMaxPerGroup}) t
 UNION ALL SELECT 'lsh_bucket', COUNT(*) FROM (
   SELECT band, bkey FROM bands GROUP BY band, bkey
   HAVING COUNT(*) > ${graft.pipeline.Linking.DefaultMaxBucketSize}) t
@@ -1080,7 +1084,7 @@ UNION ALL SELECT 'shingle_df', COUNT(*) FROM (
   HAVING COUNT(*) > ${graft.pipeline.Linking.DefaultMaxShingleDf}) t
 UNION ALL SELECT 'twohop_mid', COUNT(*) FROM (
   SELECT src FROM ($graphEdgesCte SELECT src, dst FROM edges) ge
-  GROUP BY src HAVING COUNT(*) > 1024) t"""),
+  GROUP BY src HAVING COUNT(*) > ${graft.ops.GraphAnalytics.DefaultMaxMidOut}) t"""),
 
     // ---------------- dedup / text ops
 

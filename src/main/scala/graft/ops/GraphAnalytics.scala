@@ -35,6 +35,16 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnalytics {
 
+  /** Default celebrity cut for [[twoHopCounts]] intermediates. Named so the
+    * caps-fire evidence query (`kg_cap_fired`) and its oracle reference the
+    * SAME value the operator applies — a default change cannot silently
+    * decouple the evidence from the cap (r5 ADVICE). */
+  val DefaultMaxMidOut = 1024
+
+  /** Default per-group distinct-mention cap for [[cooccurrence]] (same
+    * single-source-of-truth contract as [[DefaultMaxMidOut]]). */
+  val DefaultMaxPerGroup = 256
+
   /** Node→node edges of the parsed KG: IRI and blank-node objects are graph
     * edges; literal objects are node properties, not edges. DISTINCT pairs —
     * reachability/rank semantics, a multi-predicate pair is one edge. */
@@ -55,7 +65,7 @@ object GraphAnalytics {
   /** Per-source count of distinct nodes reachable in exactly two hops,
     * skipping intermediate nodes whose out-degree exceeds `maxMidOut` (the
     * celebrity cut — see the scale note above). */
-  def twoHopCounts(edges: DataFrame, maxMidOut: Int = 1024): DataFrame = {
+  def twoHopCounts(edges: DataFrame, maxMidOut: Int = DefaultMaxMidOut): DataFrame = {
     val okMid = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .filter(col("outdeg") <= maxMidOut)
       .select(col("src").as("mid"))
@@ -139,7 +149,7 @@ object GraphAnalytics {
     * |groups| × maxPerGroup². The distinct, the cap aggregate, and both
     * join sides share the group key, so the exchange is reused. The `<`
     * canonical order makes each pair counted once per group. */
-  def cooccurrence(mentionOcc: DataFrame, maxPerGroup: Int = 256): DataFrame = {
+  def cooccurrence(mentionOcc: DataFrame, maxPerGroup: Int = DefaultMaxPerGroup): DataFrame = {
     val m = mentionOcc.select("conv_id", "mention").distinct()
     val ok = m.groupBy("conv_id").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxPerGroup)

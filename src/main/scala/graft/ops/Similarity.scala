@@ -114,7 +114,12 @@ object Similarity {
     * that the registry queries never probe and that the fallback warns. */
   private[graft] val dimProbeCount = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private[graft] def embeddingDim(embeddings: DataFrame, dim: Int): Int = {
+  /** `probeCounter` is injectable so tests can assert exact probe deltas on
+    * a counter scoped to themselves — the process-global [[dimProbeCount]]
+    * would make equality assertions flaky under parallel suites (r5
+    * ADVICE). Production callers use the default. */
+  private[graft] def embeddingDim(embeddings: DataFrame, dim: Int,
+      probeCounter: java.util.concurrent.atomic.AtomicLong = dimProbeCount): Int = {
     if (dim > 0) return dim
     // metadata is caller-supplied: a non-long or non-positive "dim" falls
     // through to the probe instead of crashing (getLong throws on strings)
@@ -124,7 +129,7 @@ object Similarity {
       .flatMap(m => scala.util.Try(m.getLong("dim").toInt).toOption)
       .filter(_ > 0)
     if (fromMeta.isDefined) return fromMeta.get
-    dimProbeCount.incrementAndGet()
+    probeCounter.incrementAndGet()
     org.slf4j.LoggerFactory.getLogger(getClass).warn(
       "embeddingDim falling back to a limit(1) probe job — pass dim=... or " +
         "set a 'dim' key in the embedding column's schema metadata to avoid " +
@@ -349,13 +354,17 @@ object Similarity {
     * m-entry per-query distance lookup table, never touching the
     * candidate's full vector.
     *
-    * Scale shape: the only full-width frames are the bounded codebooks and
-    * the nQueries query rows. Candidates = an equi-join of the (vec_id,
-    * cell) assignment against the broadcast probe set; the LUT join is a
-    * broadcast of nQueries·m·kCodes integer rows; the per-candidate ADC
-    * sum collapses in the map-side partial (all m rows of a (q, candidate)
-    * group are produced in the same task by the broadcast joins), so the
-    * one exchange carries candidate-count tiny integer rows.
+    * Scale shape: the bounded frames are the codebooks, the nQueries query
+    * rows, the probe set (nQueries·nProbe rows) and the LUT
+    * (nQueries·m·kCodes integer rows) — those broadcast. The candidate set
+    * is NOT bounded: it grows with the corpus (≈ n·nProbe/nCells rows per
+    * query batch), so it is joined to `codes` by a plain equi-join on
+    * `vec_id` — both sides hash-partition on the key (codes is n·m narrow
+    * integer rows), and AQE is free to downgrade to broadcast when the
+    * runtime size is actually small. After that co-partitioned join, all m
+    * code rows of a (q, candidate) group sit in the same task, so the ADC
+    * sum still collapses in the map-side partial and the final exchange
+    * carries candidate-count tiny integer rows.
     *
     * Hash-gate determinism: LUT entries are quantized to integer
     * fixed-point — `floor(sqL2(qsub, csub) · 1e6)` as BIGINT — because a
@@ -393,7 +402,11 @@ object Similarity {
         Seq("subspace"))
       .select(col("q"), col("subspace"), col("j").as("code"),
         floor(sqL2(col("qsub"), col("csub")) * lit(1e6)).as("dq"))
-    val scored = codes.join(broadcast(cand), Seq("vec_id"))
+    // No broadcast hint on cand: it is O(corpus · nProbe/nCells) rows — at
+    // index scale an explicit broadcast is a driver-OOM / 8 GB-limit kill.
+    // The shuffle equi-join co-partitions cand with codes on vec_id; AQE
+    // picks broadcast at runtime when the candidate set is genuinely small.
+    val scored = cand.join(codes, Seq("vec_id"))
       .join(broadcast(lut), Seq("q", "subspace", "code"))
       .groupBy("q", "vec_id")
       .agg(sum(col("dq")).as("adc"))

@@ -263,16 +263,14 @@ object Linking {
     * keeps this a map-side join at any corpus scale. Match key: entity type
     * + numeric id with leading zeros stripped, so short and padded surface
     * forms resolve to the same canonical entity. */
-  /** Numeric-id parse guarded on digit count: a surface form whose id part
-    * exceeds 18 digits (> any BIGINT) gets a NULL id and simply never joins,
-    * instead of killing the job under ANSI mode (Spark 4 default) — the
-    * seeded celebrity mentions carry ~70-digit ids precisely to pin this.
-    * CaseWhen short-circuits, so the cast is never evaluated on the long
-    * ones. The oracle mirrors the same length guard. */
-  private def eidOf(name: Column): Column = {
-    val digits = split(name, "#").getItem(1)
-    when(length(digits) <= 18, digits.cast("long"))
-  }
+  /** Numeric-id parse via try_cast: a surface form whose id part does not
+    * fit a BIGINT gets a NULL id and simply never joins, instead of killing
+    * the job under ANSI mode (Spark 4 default) — the seeded celebrity
+    * mentions carry ~70-digit ids precisely to pin this. try_cast admits
+    * the full BIGINT range (the previous ≤18-digit guard silently dropped
+    * valid 19-digit ids — r5 ADVICE) and mirrors the oracle's TRY_CAST. */
+  private def eidOf(name: Column): Column =
+    split(name, "#").getItem(1).try_cast("long")
 
   def linkToDictionary(mentions: DataFrame, customers: DataFrame, suppliers: DataFrame): DataFrame = {
     val dict = customers.select(col("c_name").as("entity_name"))

@@ -228,26 +228,28 @@ class OpsSpec extends SparkSuite {
   test("embeddingDim: explicit param > valid metadata > probe; bad metadata falls back, never crashes") {
     import org.apache.spark.sql.types.MetadataBuilder
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val probesBefore = graft.ops.Similarity.dimProbeCount.get()
-    assert(graft.ops.Similarity.embeddingDim(e, 7) == 7) // explicit wins
+    // a counter scoped to THIS test: exact-delta assertions on the
+    // process-global dimProbeCount would be flaky under parallel suites
+    val probes = new java.util.concurrent.atomic.AtomicLong(0)
+    assert(graft.ops.Similarity.embeddingDim(e, 7, probes) == 7) // explicit wins
     val withMeta = e.withColumn("embedding",
       col("embedding").as("embedding", new MetadataBuilder().putLong("dim", 64).build()))
-    assert(graft.ops.Similarity.embeddingDim(withMeta, 0) == 64)
+    assert(graft.ops.Similarity.embeddingDim(withMeta, 0, probes) == 64)
     // neither the explicit-param nor the metadata path may touch the
     // warned probe fallback (the counter backs the logWarning)
-    assert(graft.ops.Similarity.dimProbeCount.get() == probesBefore)
+    assert(probes.get() == 0)
     // non-long / non-positive metadata must fall through to the probe (the
     // real dim), not throw or route a populated table into the empty path
     val strMeta = e.withColumn("embedding",
       col("embedding").as("embedding", new MetadataBuilder().putString("dim", "64").build()))
-    assert(graft.ops.Similarity.embeddingDim(strMeta, 0) == 64)
+    assert(graft.ops.Similarity.embeddingDim(strMeta, 0, probes) == 64)
     val zeroMeta = e.withColumn("embedding",
       col("embedding").as("embedding", new MetadataBuilder().putLong("dim", 0L).build()))
-    assert(graft.ops.Similarity.embeddingDim(zeroMeta, 0) == 64)
-    assert(graft.ops.Similarity.embeddingDim(e.filter(lit(false)), 0) == 0) // empty table
+    assert(graft.ops.Similarity.embeddingDim(zeroMeta, 0, probes) == 64)
+    assert(graft.ops.Similarity.embeddingDim(e.filter(lit(false)), 0, probes) == 0) // empty table
     // each of the three fall-through calls above fired (and warned about)
     // exactly one probe job
-    assert(graft.ops.Similarity.dimProbeCount.get() == probesBefore + 3)
+    assert(probes.get() == 3)
   }
 
   test("LSH top-k recall vs brute force") {

@@ -288,6 +288,24 @@ class PlanSpec extends SparkSuite {
     assert(pc.contains("partial_sum"), pc)
   }
 
+  test("ivfPqTopK never broadcasts the candidate frame (O(corpus) — shuffle equi-join on vec_id)") {
+    // r5 verdict: the candidate set is ≈ n·nProbe/nCells rows — an explicit
+    // broadcast(cand) is a driver-OOM at index scale. With auto-broadcast
+    // disabled, any BroadcastHashJoin in the static plan can only come from
+    // an explicit hint; the cand⋈codes join (the ONLY vec_id equi-join in
+    // the composed plan) must sort-merge, while the genuinely bounded
+    // frames (probe set, PQ codebook, LUT) keep their broadcast hints.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val p = plan(graft.ops.Similarity.ivfPqTopK(e, 16, 5, dim = 64))
+      // formatted mode lists join keys in the details section
+      assert(p.contains("SortMergeJoin"), p)
+      assert("Left keys \\[1\\]: \\[vec_id".r.findAllIn(p).nonEmpty, p)
+      assert(p.contains("BroadcastHashJoin"), p) // bounded frames still broadcast
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("dictionary encode is map-only (content-hash ids, no Exchange, no join)") {
     // over a STORED triple table (the materialized snapshot a consumer
     // encodes), not the parse pipeline — whose own reconstruction window
