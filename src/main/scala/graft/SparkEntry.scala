@@ -157,6 +157,22 @@ object SparkEntry {
     "kg_degree_hist" -> ((s, dir) =>
       graft.ops.GraphAnalytics.degreeHistogram(ParseStage.parsedTranscripts(s, dir).toDF())),
 
+    // The dictionary-encoded path's downstream consumer (r5 verdict #4):
+    // the SAME degree histogram computed entirely over 8-byte BIGINT term
+    // ids — decode-free, since a histogram is id-agnostic — hash-equal to
+    // kg_degree_hist's string-side oracle. This is the end-to-end evidence
+    // for the encoded path's claim: every exchange in this plan moves
+    // fixed-width ids instead of IRI strings (the shuffle-byte comparison
+    // is recorded in BASELINE.md), and any fnv1a64 subject collision
+    // would merge two degree rows and fail the gate.
+    "kg_degree_hist_enc" -> ((s, dir) => {
+      val parsed = ParseStage.parsedTranscripts(s, dir).toDF()
+        .filter(col("error").isNull).select("subj", "pred", "obj")
+      Materialize.encodeTriples(parsed)
+        .groupBy("s_id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    }),
+
     "kg_2hop" -> ((s, dir) =>
       graft.ops.GraphAnalytics.twoHopCounts(
         graft.ops.GraphAnalytics.nodeEdges(ParseStage.parsedTranscripts(s, dir).toDF()))),
@@ -1037,6 +1053,12 @@ SELECT mention, entity_name FROM mk JOIN dk USING (etype, eid)""",
     // ---------------- graph analytics
 
     "kg_degree_hist" ->
+      s"""$expectedTriplesCte, deg AS (SELECT subj, COUNT(*) AS degree FROM expected GROUP BY subj)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree""",
+    // identical oracle on purpose: the encoded-id histogram must equal the
+    // string-side histogram exactly (id-agnostic aggregate, collision-free
+    // content hash)
+    "kg_degree_hist_enc" ->
       s"""$expectedTriplesCte, deg AS (SELECT subj, COUNT(*) AS degree FROM expected GROUP BY subj)
 SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree""",
     "kg_2hop" ->
