@@ -286,6 +286,14 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5)),
     "sim_pq_codes" -> ((s, dir) =>
       graft.ops.Similarity.pqCodes(s.read.parquet(s"$dir/embeddings.parquet"), dim = 64)),
+    // trained variants: 2 seeded Lloyd iterations refine the first-k
+    // codebooks (spherical k-means for the coarse quantizer, per-subspace
+    // L2 k-means for PQ) — the order-free fixed-point mean makes the
+    // trained centroids, and everything computed over them, hash-gateable
+    "sim_ivf_trained" -> ((s, dir) =>
+      graft.ops.Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 16, 5, trainIters = 2)),
+    "sim_pq_trained" -> ((s, dir) =>
+      graft.ops.Similarity.pqCodes(s.read.parquet(s"$dir/embeddings.parquet"), dim = 64, trainIters = 2)),
     // composed IVF-PQ ADC: probe 4 of 16 cells, score candidates from the
     // integer fixed-point per-query LUT over the PQ codes — the production
     // disk-resident ANN shape (see Similarity.ivfPqTopK's determinism note)
@@ -976,6 +984,76 @@ vsub AS (SELECT vec_id, CAST(sp.s AS INTEGER) AS subspace, e.embedding[sp.s*16+1
 pqscore AS (SELECT vec_id, subspace, j, ${sqL2Sql("vsub", "csub")} AS d FROM vsub JOIN cbsub USING (subspace)),
 codes AS (SELECT vec_id, subspace, j AS code FROM (SELECT vec_id, subspace, j, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d, j) AS rn FROM pqscore) t WHERE rn = 1)"""
 
+  /** One spherical-k-means (Lloyd) iteration as SQL CTEs, mirroring
+    * Similarity.lloydRefine exactly: cosine argmax assignment (ties →
+    * smallest cell), component mean accumulated as SUM of
+    * floor(x·1e6) BIGINTs (exact, accumulation-order-free — the reason the
+    * trained centroids are hashable at all), one double division restores
+    * scale, cells with no members keep the previous centroid via the left
+    * join. Expects `nrm` and `posr` (1-based component positions); reads
+    * codebook `kcb${i-1}(cell, ce)`, emits `kcb$i(cell, ce)`. */
+  private def lloydIterSql(i: Int): String = {
+    val prev = s"kcb${i - 1}"
+    s"""cbn$i AS (SELECT cell, ce, sqrt(${dotSql("ce", "ce")}) AS cn FROM $prev),
+ksc$i AS (SELECT v.vec_id, c.cell, ${dotSql("v.embedding", "c.ce")} / (v.n * c.cn) AS cs FROM nrm v, cbn$i c),
+kasg$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn FROM ksc$i) t WHERE rn = 1),
+ksum$i AS (SELECT a.cell, p.pos, SUM(CAST(floor(CAST(e.embedding[p.pos] AS DOUBLE) * 1000000.0) AS BIGINT)) AS sq, COUNT(*) AS cnt
+  FROM kasg$i a JOIN embeddings e USING (vec_id), posr p GROUP BY 1, 2),
+kcent$i AS (SELECT cell, list(CAST(sq AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0) ORDER BY pos) AS ce FROM ksum$i GROUP BY cell),
+kcb$i AS (SELECT p.cell, COALESCE(n.ce, p.ce) AS ce FROM $prev p LEFT JOIN kcent$i n USING (cell))"""
+  }
+
+  /** IVF top-k over a 2-iteration Lloyd-trained codebook, replayed exactly
+    * (constants match the SparkEntry call: 16 cells, 16 queries, nProbe=4,
+    * k=5, dim=64, trainIters=2). Init = the first-16 convention cast to
+    * double lists; then two [[lloydIterSql]] rounds; then the same
+    * assign/probe/candidate chain as `sim_ivf_topk` against kcb2. */
+  private def simIvfTrainedSql: String =
+    s"""WITH nrm AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS n FROM embeddings),
+posr AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS pos),
+kcb0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+         FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) t),
+${lloydIterSql(1)},
+${lloydIterSql(2)},
+cbf AS (SELECT cell, ce, sqrt(${dotSql("ce", "ce")}) AS cn FROM kcb2),
+score AS (SELECT v.vec_id, c.cell, ${dotSql("v.embedding", "c.ce")} / (v.n * c.cn) AS cs FROM nrm v, cbf c),
+asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn FROM score) t WHERE rn = 1),
+qp AS (SELECT vec_id AS q, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell DESC) AS rn FROM score WHERE vec_id < 16) t WHERE rn <= 4),
+cand AS (SELECT DISTINCT qp.q, a.vec_id AS neighbor FROM asg a JOIN qp ON a.cell = qp.cell WHERE a.vec_id <> qp.q)${annRankSql(5)}"""
+
+  /** One per-subspace Lloyd iteration for the PQ codebook, mirroring
+    * Similarity.lloydRefinePq: squared-L2 argmin assignment (ties →
+    * smallest j), the same order-free fixed-point mean. Expects `vsub`
+    * and `posr16`; reads `qcb${i-1}(j, subspace, csub)`, emits `qcb$i`. */
+  private def pqLloydIterSql(i: Int): String = {
+    val prev = s"qcb${i - 1}"
+    s"""qsc$i AS (SELECT v.vec_id, v.subspace, c.j, ${sqL2Sql("v.vsub", "c.csub")} AS d FROM vsub v JOIN $prev c USING (subspace)),
+qasg$i AS (SELECT vec_id, subspace, j FROM (SELECT vec_id, subspace, j, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d, j) AS rn FROM qsc$i) t WHERE rn = 1),
+qsum$i AS (SELECT a.subspace, a.j, p.pos, SUM(CAST(floor(CAST(v.vsub[p.pos] AS DOUBLE) * 1000000.0) AS BIGINT)) AS sq, COUNT(*) AS cnt
+  FROM qasg$i a JOIN vsub v USING (vec_id, subspace), posr16 p GROUP BY 1, 2, 3),
+qcent$i AS (SELECT subspace, j, list(CAST(sq AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0) ORDER BY pos) AS csub FROM qsum$i GROUP BY 1, 2),
+qcb$i AS (SELECT p.j, p.subspace, COALESCE(n.csub, p.csub) AS csub FROM $prev p LEFT JOIN qcent$i n USING (subspace, j))"""
+  }
+
+  /** PQ codes over 2-iteration-trained subspace codebooks (m=4 subspaces ×
+    * 16-dim subvectors, 16 centroids each, trainIters=2 — constants match
+    * the SparkEntry call). */
+  private def simPqTrainedSql: String =
+    s"""WITH sp AS (SELECT unnest(range(0, 4)) AS s),
+posr16 AS (SELECT CAST(unnest(range(1, 17)) AS INTEGER) AS pos),
+vsub AS (SELECT vec_id, CAST(sp.s AS INTEGER) AS subspace, e.embedding[sp.s*16+1 : sp.s*16+16] AS vsub FROM embeddings e, sp),
+qcb0 AS (SELECT CAST(row_number() OVER (PARTITION BY sp.s ORDER BY t.vec_id) - 1 AS INTEGER) AS j,
+                CAST(sp.s AS INTEGER) AS subspace,
+                list_transform(t.embedding[sp.s*16+1 : sp.s*16+16], x -> CAST(x AS DOUBLE)) AS csub
+         FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) t, sp),
+${pqLloydIterSql(1)},
+${pqLloydIterSql(2)},
+fsc AS (SELECT v.vec_id, v.subspace, c.j, ${sqL2Sql("v.vsub", "c.csub")} AS d FROM vsub v JOIN qcb2 c USING (subspace))
+SELECT vec_id, subspace, j AS code FROM
+  (SELECT vec_id, subspace, j, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d, j) AS rn FROM fsc) t
+WHERE rn = 1"""
+
   /** Composed IVF-PQ ADC, self-contained: coarse candidates (ivfCandCtes),
     * PQ codes (pqCtes), per-query LUT quantized to integer fixed-point
     * (floor(d·1e6) — a grouped SUM of doubles is accumulation-order-
@@ -1234,6 +1312,11 @@ WHERE ${dotSql("x.embedding", "y.embedding")} / (x.n * y.n) >= 0.35""",
     // PQ assignment replayed exactly (shared pqCtes chain).
     "sim_pq_codes" ->
       s"WITH $pqCtes SELECT vec_id, subspace, code FROM codes",
+
+    // Lloyd-trained codebook variants, iterations replayed in SQL
+    // (lloydIterSql / pqLloydIterSql mirror Similarity.lloydRefine{,Pq}).
+    "sim_ivf_trained" -> simIvfTrainedSql,
+    "sim_pq_trained" -> simPqTrainedSql,
 
     // Composed IVF-PQ ADC (shared ivfCandCtes + pqCtes; see simIvfPqTopkSql).
     "sim_ivfpq_topk" -> simIvfPqTopkSql,

@@ -199,8 +199,8 @@ object Similarity {
     * Approximate; OpsSpec asserts recall vs [[bruteTopK]] and exhaustive
     * equality when probing all cells. */
   /** Deterministic coarse codebook: the nCells lowest vec_ids
-    * (data-independent choice; a k-means refinement would slot in here
-    * without changing the plan shape). The global (unpartitioned) window
+    * (data-independent choice; [[lloydRefine]] trains it in place when
+    * `trainIters > 0`). The global (unpartitioned) window
     * fires WindowExec's single-partition warning, but its input is the
     * limit(nCells) frame: at most nCells rows reach it at ANY data scale,
     * so the single partition is a constant-size reduction, not a
@@ -210,6 +210,54 @@ object Similarity {
     e.orderBy("vec_id").limit(nCells)
       .select((row_number().over(w0) - 1).cast("int").as("cell"),
         col("embedding").as("centroid"), col("n").as("cn"))
+  }
+
+  /** Seeded Lloyd (k-means) refinement of a coarse codebook — the
+    * trained-centroid slot promised at [[coarseCodebook]]. Assignment is
+    * the SAME cosine argmax as [[coarseAssign]] (cosine is invariant to
+    * centroid scale, so the plain component-wise member mean IS the
+    * spherical k-means update — no renormalization step needed). The mean
+    * is computed in integer fixed point: each component contributes
+    * `floor(x·1e6)` as BIGINT, the per-(cell, pos) SUM of BIGINTs is exact
+    * and accumulation-order-FREE (a grouped SUM of doubles is not, and
+    * would make the trained centroids — and every query over them —
+    * unhashable), and one double division at the end restores the scale.
+    * Cells that lose every member keep their previous centroid
+    * (deterministic, and what the DuckDB oracle replays via a left join).
+    *
+    * Scale shape per iteration: one broadcast-join assignment (the
+    * codebook is the small side), one (cell, pos) aggregation whose
+    * map-side partial collapses to nCells·dim rows per task, and a
+    * bounded nCells-row result that is `localCheckpoint`ed so the next
+    * iteration's plan does not nest the previous one's corpus scan —
+    * Lloyd is inherently iterative; the checkpoint keeps the final query
+    * plan linear in `iters` instead of exponential. */
+  private[graft] def lloydRefine(e: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    // start from double centroids so every iteration (and the coalesce
+    // with kept-previous centroids) carries one element type
+    var cb = init.select(col("cell"),
+      transform(col("centroid"), x => x.cast("double")).as("centroid"), col("cn"))
+    for (_ <- 1 to iters) {
+      val asg = coarseAssign(e, cb)
+      val cent = asg
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(floor(col("x").cast("double") * lit(1e6))).as("sq"),
+          count(lit(1)).as("cnt"))
+        .select(col("cell"), col("pos"),
+          (col("sq").cast("double") / (col("cnt").cast("double") * lit(1e6))).as("v"))
+        .groupBy("cell")
+        // pos is unique per group: sorting the (pos, v) structs restores
+        // component order deterministically (collect_list alone is not)
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("next"))
+      cb = cb.select(col("cell"), col("centroid").as("prev"))
+        .join(cent, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("next"), col("prev")).as("centroid"))
+        .select(col("cell"), col("centroid"), norm(col("centroid")).as("cn"))
+        .localCheckpoint()
+    }
+    cb
   }
 
   /** argmax cell per vector: max of (score, -cell) picks the smallest cell
@@ -239,9 +287,11 @@ object Similarity {
   }
 
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
     val e = withNorms(embeddings)
-    val codebook = coarseCodebook(e, nCells)
+    val codebook =
+      if (trainIters > 0) lloydRefine(e, coarseCodebook(e, nCells), trainIters)
+      else coarseCodebook(e, nCells)
     val assigned = coarseAssign(e, codebook)
     val queries = probedQueries(e, codebook, nQueries, nProbe)
     val scored = assigned.join(broadcast(queries), Seq("cell"))
@@ -295,8 +345,8 @@ object Similarity {
     * each subvector is assigned the index of its nearest (squared-L2)
     * centroid in that subspace's codebook. Codebook = the subvectors of
     * the `k` lowest vec_ids (data-independent deterministic choice, same
-    * convention as [[ivfTopK]]'s codebook — a k-means refinement would
-    * slot in without changing the plan shape).
+    * convention as [[ivfTopK]]'s codebook; [[lloydRefinePq]] trains it in
+    * place when `trainIters > 0`).
     *
     * Output is EXPLODED (vec_id, subspace, code) integer rows so the
     * driver hash never sees a float. Scale shape: the codebook is m·k
@@ -322,7 +372,43 @@ object Similarity {
       .select(col("j"), posexplode(subSlices(col("embedding"), m, sub)).as(Seq("subspace", "csub")))
   }
 
-  def pqCodes(embeddings: DataFrame, m: Int = 4, k: Int = 16, dim: Int = 0): DataFrame = {
+  /** Per-subspace Lloyd refinement of a PQ codebook — the sibling of
+    * [[lloydRefine]] with squared-L2 assignment (PQ's metric) instead of
+    * cosine, run over all m subspaces in one frame (the argmin groups by
+    * (vec_id, subspace); the mean by (subspace, j, pos)). Same
+    * order-free fixed-point mean, same keep-previous-on-empty rule, same
+    * per-iteration localCheckpoint of the bounded m·k-row codebook. */
+  private[graft] def lloydRefinePq(vsubs: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var cb = init.select(col("j"), col("subspace"),
+      transform(col("csub"), x => x.cast("double")).as("csub"))
+    for (_ <- 1 to iters) {
+      val dist = graft.functions.GraftFunctions.sq_l2_f64(col("vsub"), col("csub"))
+      val asg = vsubs.join(broadcast(cb), Seq("subspace"))
+        .select(col("vec_id"), col("subspace"), col("vsub"),
+          struct(dist.as("d"), col("j").as("j")).as("dj"))
+        .groupBy("vec_id", "subspace")
+        .agg(first(col("vsub")).as("vsub"), min(col("dj")).as("best"))
+        .select(col("subspace"), col("vsub"), col("best.j").as("j"))
+      val cent = asg
+        .select(col("subspace"), col("j"), posexplode(col("vsub")).as(Seq("pos", "x")))
+        .groupBy("subspace", "j", "pos")
+        .agg(sum(floor(col("x").cast("double") * lit(1e6))).as("sq"),
+          count(lit(1)).as("cnt"))
+        .select(col("subspace"), col("j"), col("pos"),
+          (col("sq").cast("double") / (col("cnt").cast("double") * lit(1e6))).as("v"))
+        .groupBy("subspace", "j")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("next"))
+      cb = cb.select(col("j"), col("subspace"), col("csub").as("prev"))
+        .join(cent, Seq("subspace", "j"), "left")
+        .select(col("j"), col("subspace"), coalesce(col("next"), col("prev")).as("csub"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  def pqCodes(embeddings: DataFrame, m: Int = 4, k: Int = 16, dim: Int = 0,
+              trainIters: Int = 0): DataFrame = {
     val d = embeddingDim(embeddings, dim)
     val e = embeddings.select(col("vec_id"), col("embedding"))
     // Same empty-table contract as hyperplaneBuckets: dim 0 means an empty
@@ -332,9 +418,11 @@ object Similarity {
         .filter(lit(false))
     require(d % m == 0, s"embedding dim $d not divisible into $m subspaces")
     val sub = d / m
-    val codebook = pqCodebook(e, m, k, sub)
     val vsubs = e.select(col("vec_id"),
       posexplode(subSlices(col("embedding"), m, sub)).as(Seq("subspace", "vsub")))
+    val codebook =
+      if (trainIters > 0) lloydRefinePq(vsubs, pqCodebook(e, m, k, sub), trainIters)
+      else pqCodebook(e, m, k, sub)
     // Native codegen fold (graft.functions.SqL2F64) — the scoring
     // projection runs n·m·k times and the defining aggregate(zip_with(…))
     // chain is CodegenFallback, which would exile the whole stage from

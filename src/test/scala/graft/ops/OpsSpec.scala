@@ -295,6 +295,48 @@ class OpsSpec extends SparkSuite {
     assert(fullRecall > 0.1, f"exhaustive-probe ADC recall $fullRecall%.2f unreasonably low")
   }
 
+  test("Lloyd-trained IVF codebook: recall >= untrained on a clustered corpus; PQ training converges") {
+    import spark.implicits._
+    // Controlled fixture where the untrained first-k init is DEGENERATE:
+    // the corpus has 4 well-separated clusters (unit axes + small noise),
+    // but vec_ids 0..3 — the untrained codebook — all sit in cluster 0.
+    // Untrained IVF with nProbe=1 then routes most queries through
+    // near-identical centroids; Lloyd iterations migrate the centroids
+    // onto the true clusters and recall must not get worse.
+    val rnd = new scala.util.Random(42)
+    val dim = 8
+    val rows = (0 until 80).map { i =>
+      val cluster = if (i < 4) 0 else i % 4
+      val v = Array.tabulate(dim)(d => (if (d == cluster) 1.0f else 0.0f) + rnd.nextFloat() * 0.1f)
+      (i.toLong, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteTopK(e, 8, 5).as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toSet
+    def recallOf(iters: Int): Double = {
+      val approx = Similarity.ivfTopK(e, 8, 5, nCells = 4, nProbe = 1, trainIters = iters)
+        .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+      (brute intersect approx).size.toDouble / brute.size
+    }
+    val untrained = recallOf(0)
+    val trained = recallOf(3)
+    assert(trained >= untrained,
+      f"training hurt recall: trained $trained%.2f < untrained $untrained%.2f")
+    assert(trained > 0.5, f"trained recall $trained%.2f too low for separable clusters")
+    // PQ training on the same fixture: codes still dense integers in
+    // [0, kCodes), one per (vec, subspace) — the trained codebook changed
+    // nothing about the output contract.
+    val codes = Similarity.pqCodes(e, m = 4, k = 8, dim = dim, trainIters = 2)
+      .as[(Long, Int, Int)].collect()
+    assert(codes.length == 80 * 4)
+    assert(codes.forall(c => c._3 >= 0 && c._3 < 8))
+    // training moved at least one assignment vs the untrained codebook on
+    // a degenerate-init fixture (all 8 init centroids from cluster 0)
+    val untrainedCodes = Similarity.pqCodes(e, m = 4, k = 8, dim = dim)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(codes.toSet != untrainedCodes, "PQ training was a no-op on a degenerate init")
+  }
+
   test("LSH near-dup pairs: subset of exact pairs, reasonable recall, cap bounds fan-out") {
     import spark.implicits._
     val exact = Similarity.cosineNearDupPairs(embeddings, 0.35, Long.MaxValue)
