@@ -109,7 +109,9 @@ object W3cManifest {
 
   /** Parse an N-Triples expected-result document into kernel triples.
     * Supports IRIs, blank nodes, literals with `\\ \" \n \r \t \uXXXX`
-    * escapes, `@lang` (with optional `--dir`), and `^^<dt>`. */
+    * escapes, `@lang` (with optional `--dir`), `^^<dt>`, and RDF 1.2
+    * triple terms `<<( s p o )>>` (the official rdf12 suite's N-Triples
+    * result syntax), nested arbitrarily. */
   def readNt(nt: String): Vector[Triple] =
     nt.linesIterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       val (s, r1) = ntTerm(line)
@@ -143,11 +145,20 @@ object W3cManifest {
   /** One term off the front of an N-Triples line; returns (term, rest). */
   private def ntTerm(line0: String): (Term, String) = {
     val line = line0.dropWhile(_.isWhitespace)
-    if (line.startsWith("<")) {
+    if (line.startsWith("<<(")) {
+      val (s, r1) = ntTerm(line.substring(3))
+      val (p, r2) = ntTerm(r1)
+      val (o, r3) = ntTerm(r2)
+      val r = r3.dropWhile(_.isWhitespace)
+      require(r.startsWith(")>>"), s"unterminated triple term at: $line0")
+      (TripleTerm(Triple(s, p, o)), r.substring(3))
+    } else if (line.startsWith("<")) {
       val e = line.indexOf('>')
       (Iri(unescape(line.substring(1, e))), line.substring(e + 1))
     } else if (line.startsWith("_:")) {
-      val e = line.indexWhere(_.isWhitespace)
+      // a bnode may be flush against a triple-term closer: `_:b )>>`
+      val e0 = line.indexWhere(c => c.isWhitespace || c == ')')
+      val e = if (e0 < 0) line.length else e0
       (BNode(line.substring(2, e)), line.substring(e))
     } else if (line.startsWith("\"")) {
       var j = 1
