@@ -8,7 +8,9 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                             session_end: java.sql.Timestamp, n_events: Long)
 
-/** One gap-delimited run of events (epoch millis). */
+/** One gap-delimited run of events (epoch MICROS — the events table has
+  * microsecond timestamps; millisecond state would truncate and split
+  * sessions differently than the exact batch formulation). */
 final case class SessionRun(start: Long, end: Long, n: Long)
 
 /** Per-key state: every run the watermark has not yet sealed. Runs stay
@@ -69,40 +71,59 @@ object StreamingJoins {
                  gapMinutes: Int = 10,
                  watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
 
+    // State runs in epoch MICROS: `unix_micros` preserves the events
+    // table's microsecond timestamps exactly, where Timestamp.getTime would
+    // truncate to millis and flip gap comparisons near the 600 s boundary.
+    // the watermarked `ts` column must SURVIVE the projection — dropping
+    // it fails analysis ("event-time timeout not supported without
+    // watermark"); the BIGINT micros column rides alongside for the state
     events.withWatermark("ts", watermark)
-      .select(col("user_id"), col("ts"))
-      .as[(Long, java.sql.Timestamp)]
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (user, it, state) =>
-        val wm = state.getCurrentWatermarkMs()
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
         val carried = state.getOption.map(_.runs).getOrElse(Seq.empty)
-        val points = it.map(t => SessionRun(t._2.getTime, t._2.getTime, 1L)).toSeq
+        val points = it.map(t => SessionRun(t._3, t._3, 1L)).toSeq
 
         // Interval merge: carried runs and new points, ordered by start,
-        // fuse whenever the gap between them is <= gapMs. Late points
+        // fuse whenever the gap between them is <= gapUs. Late points
         // extend runs backward or bridge two runs — order of arrival
         // across batches cannot change the result.
         val merged = (carried ++ points).sortBy(r => (r.start, r.end))
           .foldLeft(List.empty[SessionRun]) {
-            case (cur :: done, r) if r.start - cur.end <= gapMs =>
+            case (cur :: done, r) if r.start - cur.end <= gapUs =>
               SessionRun(cur.start, math.max(cur.end, r.end), cur.n + r.n) :: done
             case (acc, r) => r :: acc
           }.reverse
 
-        // A run is sealed once end + gap <= watermark: the engine admits no
-        // event older than the watermark, so nothing can extend it.
-        val (ripe, open) = merged.partition(_.end + gapMs <= wm)
+        // A run is sealed once end + gap < watermark — STRICTLY: the engine
+        // still admits an event AT the watermark, and one at exactly
+        // end + gap would merge, so `<=` could emit a run a boundary event
+        // should have extended.
+        val (ripe, open) = merged.partition(_.end + gapUs < wmUs)
         if (open.isEmpty) state.remove()
         else {
           state.update(SessionState(open))
-          state.setTimeoutTimestamp(open.map(_.end).min + gapMs)
+          // +1: the timeout API is millis and must be strictly beyond the
+          // current watermark; firing <=1 ms late just re-checks the seal.
+          state.setTimeoutTimestamp((open.map(_.end).min + gapUs) / 1000L + 1L)
         }
-        ripe.iterator.map(r => SessionOut(user,
-          new java.sql.Timestamp(r.start), new java.sql.Timestamp(r.end), r.n))
+        ripe.iterator.map { r =>
+          SessionOut(user, tsFromMicros(r.start), tsFromMicros(r.end), r.n)
+        }
       }
+  }
+
+  /** Exact micros → java.sql.Timestamp (the nanos field carries the full
+    * sub-second component; the millis constructor alone would truncate). */
+  private def tsFromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
+    t
   }
 
   /** Streaming exact dedup — the incremental form of `dedup_exact`
