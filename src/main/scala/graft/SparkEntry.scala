@@ -308,6 +308,9 @@ object SparkEntry {
     // span-level marks for masking: (doc_id, token offset, anchor hash)
     "dedup_substring_spans" -> ((s, dir) =>
       graft.ops.Dedup.substringDupSpans(s.read.parquet(s"$dir/documents.parquet"))),
+    // the cleaned corpus those marks imply: covered tokens cut, re-emitted
+    "dedup_substring_clean" -> ((s, dir) =>
+      graft.ops.Dedup.substringCleanCorpus(s.read.parquet(s"$dir/documents.parquet"))),
     // the deterministic signature itself IS oracle-able (bit-exact in SQL)
     "dedup_simhash_sig" -> ((s, dir) =>
       graft.ops.Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
@@ -759,6 +762,19 @@ star AS (SELECT DISTINCT h.hub AS a, b.doc_id AS b
 sym AS (SELECT a AS u, b AS v FROM star UNION SELECT b, a FROM star UNION SELECT a, a FROM star UNION SELECT b, b FROM star),
 reach(u, v) AS (SELECT u, v FROM sym UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
 SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u"""
+
+  /** Shared CTE prefix for the substring-duplication family: sampled
+    * 8-token-gram anchors (`sa`: doc_id, pos, u) and the shared-but-not-
+    * boilerplate hash set (`shared`: u). Mirrors Dedup.substringAnchorRows
+    * + the DF window of substringDupSpans; consumed by both the span marks
+    * and the span-cut corpus oracles. */
+  private def substringSpansSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, unnest([{'p': i-1, 'g': array_to_string(w[i:i+7], ' ')} for i in generate_series(1, greatest(len(w)-7, 0))], recursive := true) FROM w),
+gh AS (SELECT doc_id, CAST(p AS INTEGER) AS pos, ${fnv1aSql("g")}::UBIGINT AS u FROM g),
+sa AS (SELECT doc_id, pos, u FROM gh WHERE u % 4 = 0),
+shared AS (SELECT u FROM (SELECT DISTINCT doc_id, u FROM sa) t
+           GROUP BY u HAVING COUNT(*) BETWEEN 2 AND ${graft.pipeline.Linking.DefaultMaxShingleDf})"""
 
   /** DuckDB mirror of `GraphAnalytics.bfsDistances`: the Bellman-Ford
     * recurrence unrolled to `maxHops` chained CTEs. After k rounds a node
@@ -1283,15 +1299,30 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
     // comprehension (p is 0-based like Spark's posexplode), unsigned anchor
     // hash converted back to the JVM's signed BIGINT for the output column.
     "dedup_substring_spans" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-g AS (SELECT doc_id, unnest([{'p': i-1, 'g': array_to_string(w[i:i+7], ' ')} for i in generate_series(1, greatest(len(w)-7, 0))], recursive := true) FROM w),
-gh AS (SELECT doc_id, CAST(p AS INTEGER) AS pos, ${fnv1aSql("g")}::UBIGINT AS u FROM g),
-sa AS (SELECT doc_id, pos, u FROM gh WHERE u % 4 = 0),
-shared AS (SELECT u FROM (SELECT DISTINCT doc_id, u FROM sa) t
-           GROUP BY u HAVING COUNT(*) BETWEEN 2 AND ${graft.pipeline.Linking.DefaultMaxShingleDf})
+      s"""$substringSpansSql
 SELECT sa.doc_id, sa.pos,
        CAST(CASE WHEN sa.u >= 9223372036854775808 THEN sa.u::HUGEINT - 18446744073709551616 ELSE sa.u::HUGEINT END AS BIGINT) AS h
 FROM sa JOIN shared USING (u)""",
+
+    // Span-cut corpus emission: tokens covered by any duplicated anchor's
+    // k-token window are dropped and the survivors re-joined on single
+    // spaces (lossless under the literal-space split both engines use).
+    // ANTI JOIN of indexed tokens against the expanded covered-position
+    // set mirrors the Spark side's filter/exists HOF; unnest(NULL) emitting
+    // zero rows routes null-text docs to the NULL branch of the CASE.
+    "dedup_substring_clean" ->
+      s"""$substringSpansSql,
+sp AS (SELECT sa.doc_id, sa.pos FROM sa JOIN shared USING (u)),
+cov AS (SELECT DISTINCT doc_id, p FROM (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p FROM sp)),
+t AS (SELECT doc_id, text, lang, source, n_chars, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest([{'p': i-1, 't': w[i]} for i in generate_series(1, len(w))], recursive := true) FROM t),
+kept AS (SELECT tok.doc_id, tok.p, tok.t FROM tok ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p),
+agg AS (SELECT doc_id, array_to_string(list(t ORDER BY p), ' ') AS ctext, COUNT(*) AS n_keep FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+  CASE WHEN t.text IS NULL THEN NULL ELSE coalesce(agg.ctext, '') END AS text,
+  t.lang, t.source, t.n_chars,
+  CAST(CASE WHEN t.text IS NULL THEN NULL ELSE len(t.w) - coalesce(agg.n_keep, 0) END AS BIGINT) AS n_cut
+FROM t LEFT JOIN agg USING (doc_id)""",
 
     // Decontamination: 4-token-gram FNV hashes (bit-exact fnv1aSql mirror),
     // eval slice = doc_id % 100 = 1, DF cap applied to eval-MATCHING grams

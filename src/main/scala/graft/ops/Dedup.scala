@@ -205,6 +205,46 @@ object Dedup {
       .select(col("doc_id"), col("pos"), col("h"))
   }
 
+  /** Span-cut corpus emission — the masking counterpart of [[survivors]]:
+    * re-emit every document with its duplicated k-token spans REMOVED
+    * (every token covered by a [[substringDupSpans]] anchor at offset
+    * `pos..pos+k-1` is cut; survivors are re-joined on single spaces, which
+    * is lossless under the literal-space tokenization both engines use).
+    * Returns the full corpus schema plus `n_cut`, the number of tokens
+    * removed — documents with no duplicated spans pass through with
+    * `n_cut = 0`.
+    *
+    * Scale shape: beyond [[substringDupSpans]]' own bounded stages, the cut
+    * adds ONE aggregation of the (small) span set into per-doc offset lists
+    * and ONE join of that minority frame back to the corpus — marked docs
+    * are a small fraction of a real corpus, so AQE broadcasts the cut side
+    * and the corpus is never shuffled; the cut itself is a narrow
+    * projection (HOF filter/exists over the token array, no UDF). */
+  def substringCleanCorpus(docs: DataFrame, k: Int = 8,
+                           mask: Long = DefaultAnchorMask,
+                           maxAnchorDf: Long = Linking.DefaultMaxShingleDf): DataFrame = {
+    val cuts = substringDupSpans(docs, k, mask, maxAnchorDf)
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
+    cutSpans(docs, cuts, k)
+  }
+
+  /** The cut projection of [[substringCleanCorpus]], split out so the plan
+    * can be pinned against a literal `cuts` frame: given per-doc start
+    * offsets, drop covered tokens and re-emit. Null text passes through
+    * null with null `n_cut` (mirrors the oracle's CASE). */
+  private[graft] def cutSpans(docs: DataFrame, cuts: DataFrame, k: Int): DataFrame = {
+    val out = docs.columns.map {
+      case "text" => array_join(col("kept"), " ").as("text")
+      case c => col(c)
+    } :+ (size(col("toks")) - size(col("kept"))).cast("long").as("n_cut")
+    docs.join(cuts, Seq("doc_id"), "left")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("kept", when(col("starts").isNull, col("toks"))
+        .otherwise(filter(col("toks"), (_, i) =>
+          !exists(col("starts"), s => i >= s && i < s + lit(k)))))
+      .select(out: _*)
+  }
+
   /** Decontamination — the eval-set overlap check a training-data pipeline
     * runs before shipping a corpus ("did benchmark text leak into the
     * training set?"): corpus documents sharing k-token grams with a small

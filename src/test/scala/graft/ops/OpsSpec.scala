@@ -592,6 +592,31 @@ class OpsSpec extends SparkSuite {
     assert(Similarity.pqCodes(emb.filter(col("vec_id") < 0)).count() == 0)
   }
 
+  test("substring clean corpus: covered tokens cut, unmarked docs byte-identical, narrow cut stage") {
+    import spark.implicits._
+    val span = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $span"),   // anchors at offsets 2..6 → tokens 2..13 covered
+      (2L, s"$span gamma delta"),  // anchors at offsets 0..4 → tokens 0..11 covered
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"), // no shared span: passthrough
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringCleanCorpus(corpus, k = 8, mask = 0L)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("alpha beta", 12L)))
+    assert(out(2L) == (("gamma delta", 12L)))
+    assert(out(3L) == (("u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", 0L)))
+
+    // plan pin: given a precomputed cuts frame the cut itself is ONE join
+    // plus narrow projections — no Window, no shuffle (the span side
+    // broadcasts), no UDF (HOF filter/exists only)
+    val cuts = Seq((1L, Seq(2))).toDF("doc_id", "starts")
+    val phys = Dedup.cutSpans(corpus, cuts, 8).queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), s"no window expected:\n$phys")
+    assert(!phys.contains("Exchange hashpartitioning"), s"no shuffle expected:\n$phys")
+    assert(!phys.contains("BatchEvalPython") && !phys.contains("ScalaUDF"),
+      s"cut must stay UDF-free:\n$phys")
+  }
+
   test("as-of join plans as one key exchange — no join operator, no row amplification") {
     val e = spark.read.parquet(s"$sfDir/events.parquet")
     val clicks = e.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
