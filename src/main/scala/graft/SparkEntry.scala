@@ -369,6 +369,9 @@ object SparkEntry {
       graft.ops.TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet"))),
     "text_tokens" -> ((s, dir) =>
       graft.ops.TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))),
+    // subword accounting: greedy longest-prefix merges, map-only native expr
+    "text_bpe_tokens" -> ((s, dir) =>
+      graft.ops.TextAnalysis.bpeTokenCounts(s.read.parquet(s"$dir/documents.parquet"))),
     "text_fingerprint" -> ((s, dir) =>
       graft.ops.TextAnalysis.fingerprints(s.read.parquet(s"$dir/documents.parquet"))),
     "text_rolling_fp" -> ((s, dir) =>
@@ -1431,6 +1434,27 @@ FROM s""",
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
 CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS bpeish_tokens
 FROM documents""",
+
+    // Subword token accounting: the greedy longest-prefix segmentation of
+    // graft.functions.Subword replayed as a recursive longest-prefix strip
+    // over DISTINCT sanitized words (words repeat heavily, so the recursion
+    // runs on the small vocabulary of the corpus, not on every occurrence).
+    // The vocabulary literal is interpolated from the SAME Scala constant
+    // the Spark expression compiles in.
+    "text_bpe_tokens" ->
+      s"""WITH RECURSIVE v(tok) AS (SELECT unnest([${graft.functions.Subword.DefaultVocab.map(t => s"'$t'").mkString(", ")}])),
+d AS (SELECT doc_id, text, lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')) AS ct FROM documents),
+uw AS (SELECT DISTINCT unnest(string_split(ct, ' ')) AS w FROM d WHERE ct IS NOT NULL),
+s(w, rest, n) AS (
+  SELECT w, w, CAST(0 AS BIGINT) FROM uw WHERE w <> ''
+  UNION ALL
+  SELECT w, substr(rest, 1 + coalesce((SELECT max(length(tok)) FROM v WHERE starts_with(rest, tok)), 1)), n + 1
+  FROM s WHERE rest <> ''),
+tok AS (SELECT w, n FROM s WHERE rest = ''),
+wd AS (SELECT doc_id, unnest(string_split(ct, ' ')) AS w FROM d WHERE ct IS NOT NULL),
+per AS (SELECT wd.doc_id, SUM(tok.n) AS s FROM wd JOIN tok USING (w) GROUP BY wd.doc_id)
+SELECT d.doc_id, CAST(CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(per.s, 0) END AS BIGINT) AS n_bpe
+FROM d LEFT JOIN per USING (doc_id)""",
 
     // sliding windows over the token list: chunk i = tokens
     // [i*48+1 .. i*48+64] (1-based inclusive slice = Spark's slice(pos,len))

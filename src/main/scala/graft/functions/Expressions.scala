@@ -489,6 +489,8 @@ object GraftFunctions {
   def word_gram_hashes(c: Column, n: Int): Column = column(WordGramHashes(expression(c), n))
   def resolve_iri(v: Column, base: Column): Column =
     column(ResolveIri(expression(v), expression(base)))
+  def bpe_count(c: Column, vocab: Seq[String] = Subword.DefaultVocab): Column =
+    column(BpeCount(expression(c), vocab))
 
   /** Register the SQL names on a session (the non-extensions path). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -503,6 +505,7 @@ object GraftFunctions {
     registerTemp(spark, "word_shingles", es => WordShingles(es.head, litInt(es(1), "word_shingles")))
     registerTemp(spark, "char_shingles", es => CharShingles(es.head, litInt(es(1), "char_shingles")))
     registerTemp(spark, "word_gram_hashes", es => WordGramHashes(es.head, litInt(es(1), "word_gram_hashes")))
+    registerTemp(spark, "bpe_count", es => BpeCount(es.head, Subword.DefaultVocab))
   }
 
   /** The shingle widths are plan-time constants: require a foldable int. */
@@ -544,5 +547,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => WordGramHashes(es.head, GraftFunctions.litInt(es(1), "word_gram_hashes"))))
     e.injectFunction((FunctionIdentifier("resolve_iri"),
       new ExpressionInfo(classOf[ResolveIri].getName, "resolve_iri"), es => ResolveIri(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
+      es => BpeCount(es.head, Subword.DefaultVocab)))
   }
 }

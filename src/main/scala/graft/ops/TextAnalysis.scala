@@ -55,6 +55,19 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("bpeish_tokens"),
     )
 
+  /** Subword (BPE-style) token accounting — the unit training pipelines
+    * actually meter cost in: greedy longest-prefix segmentation against the
+    * merged-subword vocabulary (graft.functions.Subword), applied to the
+    * ASCII-sanitized lowercase text so both engines tokenize identical
+    * bytes. A narrow map-only projection: the vocabulary is a plan-time
+    * constant inside the codegen expression, so the count adds no join, no
+    * broadcast variable, and no UDF barrier at any corpus size. */
+  def bpeTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      graft.functions.GraftFunctions.bpe_count(
+        lower(regexp_replace(col("text"), "[^A-Za-z0-9]+", " "))).as("n_bpe"))
+
   /** Document fingerprint: md5 of the whitespace-collapsed, lowercased
     * text — the exact-dedup key that survives formatting noise. */
   def fingerprints(docs: DataFrame): DataFrame =

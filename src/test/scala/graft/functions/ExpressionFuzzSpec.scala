@@ -156,4 +156,34 @@ class ExpressionFuzzSpec extends SparkSuite {
       assert(got(i.toLong) == mirror(t), s"doc $i: ${t.take(60)}")
     }
   }
+
+  test("property: native bpe_count == naive greedy longest-prefix reference") {
+    import spark.implicits._
+    val vocab = Subword.DefaultVocab
+    // Independent definition: per word, linear scan of the FULL vocab for
+    // the longest prefix at each offset (no first-char index, no one-pass
+    // fusion) — a different code path from SubwordMatcher.
+    def naive(text: String): Long = text.split(" ", -1).map { word =>
+      var i = 0; var n = 0L
+      while (i < word.length) {
+        val hit = vocab.filter(t => word.startsWith(t, i)).map(_.length)
+        val step = if (hit.isEmpty) 1 else hit.max
+        n += 1; i += step
+      }
+      n
+    }.sum
+    // sanitized alphabet (the registry query lowercases/strips first) plus
+    // raw adversarial text — the expression itself must be total on ANY
+    // string, including astral-plane chars the sanitizer would remove
+    val inputs = (samples(300) ++ samples(300).map(
+      _.toLowerCase.replaceAll("[^a-z0-9]+", " "))).distinct
+    val df = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), GraftFunctions.bpe_count(col("text")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    inputs.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == naive(t), s"doc $i: ${t.take(60)}")
+    }
+    // and the greedy property itself: longest merge wins over a shorter one
+    assert(naive("ation") == 1L && got.nonEmpty)
+  }
 }

@@ -212,6 +212,14 @@ class PlanSpec extends SparkSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("text_bpe_tokens is map-only: plan-time vocab, no Exchange, no broadcast, pruned read") {
+    val p = plan(q("text_bpe_tokens"))
+    assert(!p.contains("Exchange"), p) // the vocab rides INSIDE the expression
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema") && !p.contains("lang") && !p.contains("source"), p)
+    assert(p.contains("bpecount"), p)
+  }
+
   test("text_pii and text_repetition are map-only: scan → project, no Exchange, pruned read") {
     for (name <- Seq("text_pii", "text_repetition")) {
       val p = plan(q(name))
