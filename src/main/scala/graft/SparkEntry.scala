@@ -136,6 +136,42 @@ object SparkEntry {
       s.read.parquet(s"$root/out")
     }),
 
+    // Driver-gated stream-stream INTERVAL JOIN (the last stateful op):
+    // click→purchase attribution via StreamingSymmetricHashJoin. Each side
+    // is staged as ONE file, so the single AvailableNow micro-batch holds
+    // both streams entirely: the first batch runs against the initial
+    // (epoch-zero) watermark, so no row is late-filtered and the inner
+    // join emits every pair satisfying the time predicate — exactly the
+    // batch interval join the oracle replays. (Watermark/state eviction
+    // only affects CROSS-batch late data, of which there is none by
+    // construction; unlike the sessionizer, inner-join emission is not
+    // held back by the watermark.)
+    "kg_stream_attrib" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = scratchDir("st_aj_" + Integer.toHexString(dir.hashCode)
+        + "_" + streamRunSeq.incrementAndGet())
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"), col("value"))
+      ev.filter(col("event_type") === "click").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/c")
+      ev.filter(col("event_type") === "purchase").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/p")
+      val cs = s.readStream.schema(ev.schema).parquet(s"$root/c")
+      val ps = s.readStream.schema(ev.schema).parquet(s"$root/p")
+      val q = graft.streaming.StreamingJoins.clickAttribution(cs, ps)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/out")
+    }),
+
     // Driver-gated STATEFUL streaming dedup: dropDuplicatesWithinWatermark
     // (bounded keyed state, horizon eviction) over an AvailableNow file
     // stream. Input = the events table staged TWICE (maxFilesPerTrigger=1
@@ -1656,6 +1692,16 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
     "q_intersect" ->
       """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
 INTERSECT SELECT o_custkey FROM orders""",
+
+    // The streaming interval join replayed as a batch interval join: every
+    // (click, purchase) pair of the same user with the purchase inside the
+    // 30-minute attribution horizon.
+    "kg_stream_attrib" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us, p.value
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
 
     // Streaming within-watermark dedup over the twice-staged events table:
     // emission is exactly the distinct projected rows (see the query's
