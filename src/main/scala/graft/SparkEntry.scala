@@ -104,8 +104,9 @@ object SparkEntry {
     // MICROSECOND precision — the batch q_sessions' date_diff('second')
     // formulation differs at sub-second gaps, so this query gates the
     // exact semantics the stateful operator implements.
-    "kg_stream_sessions" -> ((s, dir) => {
+    "kg_stream_sessions" -> ((s0, dir) => {
       import org.apache.spark.sql.streaming.Trigger
+      val s = streamSession(s0)
       val root = scratchDir("st_se_" + Integer.toHexString(dir.hashCode)
         + "_" + streamRunSeq.incrementAndGet())
       // the parquet ts infers as TIMESTAMP_NTZ (Spark 4 default) but
@@ -146,8 +147,9 @@ object SparkEntry {
     // only affects CROSS-batch late data, of which there is none by
     // construction; unlike the sessionizer, inner-join emission is not
     // held back by the watermark.)
-    "kg_stream_attrib" -> ((s, dir) => {
+    "kg_stream_attrib" -> ((s0, dir) => {
       import org.apache.spark.sql.streaming.Trigger
+      val s = streamSession(s0) // 2-sided join state: see streamSession
       val root = scratchDir("st_aj_" + Integer.toHexString(dir.hashCode)
         + "_" + streamRunSeq.incrementAndGet())
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -182,8 +184,9 @@ object SparkEntry {
     // emission is deterministically the DISTINCT rows whichever way the
     // file source slices the batches. Keys = the FULL projected row, so
     // the survivor of each class is unique and hashable.
-    "kg_stream_dedup" -> ((s, dir) => {
+    "kg_stream_dedup" -> ((s0, dir) => {
       import org.apache.spark.sql.streaming.Trigger
+      val s = streamSession(s0)
       val root = scratchDir("st_dd_" + Integer.toHexString(dir.hashCode)
         + "_" + streamRunSeq.incrementAndGet())
       val batch = s.read.parquet(s"$dir/events.parquet")
@@ -718,6 +721,21 @@ object SparkEntry {
   /** Monotone per-JVM sequence for streaming-query scratch dirs (see
     * kg_stream_ingest — a checkpoint must never see a rewritten source). */
   private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Session for the STATEFUL streaming gates: stateful operators allocate
+    * one state store per shuffle partition per stateful operator (two for a
+    * stream-stream join), and every micro-batch pays init + commit on each
+    * — with the session default of 32 partitions that fixed overhead
+    * dominated the gates (~10 s for a 183-row interval join). State-store
+    * count should track STATE SIZE, not core count: 8 partitions carry the
+    * gate-scale state comfortably; a production deployment raises exactly
+    * this knob (and nothing else in the query) as keys grow. Shares the
+    * SparkContext; conf is session-scoped, so batch queries keep 32. */
+  private def streamSession(s: SparkSession, partitions: Int = 8): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    ss
+  }
 
   // ------------------------------------------------------------------ oracles
 
