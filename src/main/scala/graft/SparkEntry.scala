@@ -78,16 +78,10 @@ object SparkEntry {
       val root = scratchDir("st_in_" + Integer.toHexString(dir.hashCode)
         + "_" + streamRunSeq.incrementAndGet())
       Materialize.ntriples(ParseStage.parsedTranscripts(s, dir).toDF(), s"$root/nt")
-      val q = graft.sources.NTriples.stream(s, s"$root/nt", maxFilesPerTrigger = 8)
+      runAvailableNow(s, graft.sources.NTriples.stream(s, s"$root/nt", maxFilesPerTrigger = 8)
         .filter(col("error").isNull)
+        .select("subj", "pred", "obj"), root)
         .select("subj", "pred", "obj")
-        .writeStream.format("parquet")
-        .option("path", s"$root/out")
-        .option("checkpointLocation", s"$root/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$root/out").select("subj", "pred", "obj")
     }),
 
     // Driver-gated STATEFUL streaming (r5 verdict #5): event-time
@@ -105,7 +99,6 @@ object SparkEntry {
     // formulation differs at sub-second gaps, so this query gates the
     // exact semantics the stateful operator implements.
     "kg_stream_sessions" -> ((s0, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
       val s = streamSession(s0)
       val root = scratchDir("st_se_" + Integer.toHexString(dir.hashCode)
         + "_" + streamRunSeq.incrementAndGet())
@@ -115,26 +108,24 @@ object SparkEntry {
       val batch = s.read.parquet(s"$dir/events.parquet")
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
       batch.coalesce(1).write.mode("overwrite").parquet(s"$root/in")
+      // explicit strictly-increasing mtimes: real data, then each sentinel
+      // (see stampStagedFiles — a tie would reorder the micro-batches)
+      val t0 = System.currentTimeMillis()
+      var seen = stampStagedFiles(s"$root/in", Set.empty, t0)
       val mxMs = batch.agg(max(col("ts"))).head().getTimestamp(0).getTime
       Seq(1, 2).foreach { d => // negative user_ids: filtered from the gate
         s.range(1).select(lit(-d.toLong).as("user_id"),
             timestamp_millis(lit(mxMs + d * 86400000L)).as("ts"),
             lit(-d.toLong).as("event_id"))
           .coalesce(1).write.mode("append").parquet(s"$root/in")
+        seen = stampStagedFiles(s"$root/in", seen, t0 + d * 60000L)
       }
       val src = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
-      val q = graft.streaming.StreamingJoins.sessionize(s, src).toDF()
+      runAvailableNow(s, graft.streaming.StreamingJoins.sessionize(s, src).toDF()
         .filter(col("user_id") >= 0)
         .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
-          unix_micros(col("session_end")).as("end_us"), col("n_events"))
-        .writeStream.format("parquet")
-        .option("path", s"$root/out")
-        .option("checkpointLocation", s"$root/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$root/out")
+          unix_micros(col("session_end")).as("end_us"), col("n_events")), root)
     }),
 
     // Driver-gated stream-stream INTERVAL JOIN (the last stateful op):
@@ -148,7 +139,6 @@ object SparkEntry {
     // construction; unlike the sessionizer, inner-join emission is not
     // held back by the watermark.)
     "kg_stream_attrib" -> ((s0, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
       val s = streamSession(s0) // 2-sided join state: see streamSession
       val root = scratchDir("st_aj_" + Integer.toHexString(dir.hashCode)
         + "_" + streamRunSeq.incrementAndGet())
@@ -161,17 +151,10 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$root/p")
       val cs = s.readStream.schema(ev.schema).parquet(s"$root/c")
       val ps = s.readStream.schema(ev.schema).parquet(s"$root/p")
-      val q = graft.streaming.StreamingJoins.clickAttribution(cs, ps)
+      runAvailableNow(s, graft.streaming.StreamingJoins.clickAttribution(cs, ps)
         .select(col("user_id"), col("click_id"), col("purchase_id"),
           unix_micros(col("click_ts")).as("click_us"),
-          unix_micros(col("purchase_ts")).as("purchase_us"), col("value"))
-        .writeStream.format("parquet")
-        .option("path", s"$root/out")
-        .option("checkpointLocation", s"$root/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$root/out")
+          unix_micros(col("purchase_ts")).as("purchase_us"), col("value")), root)
     }),
 
     // Driver-gated STATEFUL streaming dedup: dropDuplicatesWithinWatermark
@@ -185,26 +168,21 @@ object SparkEntry {
     // file source slices the batches. Keys = the FULL projected row, so
     // the survivor of each class is unique and hashable.
     "kg_stream_dedup" -> ((s0, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
       val s = streamSession(s0)
       val root = scratchDir("st_dd_" + Integer.toHexString(dir.hashCode)
         + "_" + streamRunSeq.incrementAndGet())
       val batch = s.read.parquet(s"$dir/events.parquet")
         .select(col("user_id"), col("event_id"), col("ts").cast("timestamp").as("ts"))
       batch.coalesce(1).write.mode("overwrite").parquet(s"$root/in")
+      val t0 = System.currentTimeMillis()
+      val seen = stampStagedFiles(s"$root/in", Set.empty, t0)
       batch.coalesce(1).write.mode("append").parquet(s"$root/in")
+      stampStagedFiles(s"$root/in", seen, t0 + 60000L)
       val src = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
-      val q = graft.streaming.StreamingJoins
+      runAvailableNow(s, graft.streaming.StreamingJoins
         .dedupWithinWatermark(src, Seq("user_id", "event_id", "ts"))
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
-        .writeStream.format("parquet")
-        .option("path", s"$root/out")
-        .option("checkpointLocation", s"$root/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$root/out")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us")), root)
     }),
 
     // Dictionary-encoded materialization round trip (r4 verdict #8): the
@@ -737,6 +715,32 @@ object SparkEntry {
     ss
   }
 
+  /** Shared sink half of every streaming gate: parquet sink + checkpoint
+    * under `root`, Trigger.AvailableNow, block to completion, read back. */
+  private def runAvailableNow(s: SparkSession, df: DataFrame, root: String): DataFrame = {
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$root/out")
+  }
+
+  /** Pin micro-batch ORDER for a staged multi-file stream: FileStreamSource
+    * sequences unread files by modification time, and back-to-back writes
+    * can tie on coarse-mtime filesystems — a sentinel file sorting BEFORE
+    * the real data would advance the watermark first and late-filter every
+    * real event. After each staging write, stamp the newly-added data files
+    * with an explicit, strictly-increasing mtime; returns the updated
+    * seen-file set for the next call. */
+  private def stampStagedFiles(dir: String, seen: Set[String], mtimeMs: Long): Set[String] = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    files.filterNot(f => seen(f.getName)).foreach(f => f.setLastModified(mtimeMs))
+    files.map(_.getName).toSet
+  }
+
   // ------------------------------------------------------------------ oracles
 
   /** Shared DuckDB CTE: the expected triples, reconstructed with plain SQL
@@ -851,6 +855,13 @@ star AS (SELECT DISTINCT h.hub AS a, b.doc_id AS b
 sym AS (SELECT a AS u, b AS v FROM star UNION SELECT b, a FROM star UNION SELECT a, a FROM star UNION SELECT b, b FROM star),
 reach(u, v) AS (SELECT u, v FROM sym UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
 SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u"""
+
+  /** Degree histogram over the expected triples — bound once and used by
+    * BOTH kg_degree_hist and kg_degree_hist_enc: the encoded-vs-string
+    * equality claim depends on the two oracles being byte-identical. */
+  private def degreeHistOracleSql: String =
+    s"""$expectedTriplesCte, deg AS (SELECT subj, COUNT(*) AS degree FROM expected GROUP BY subj)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree"""
 
   /** Shared CTE prefix for the substring-duplication family: sampled
     * 8-token-gram anchors (`sa`: doc_id, pos, u) and the shared-but-not-
@@ -1281,15 +1292,12 @@ SELECT mention, entity_name FROM mk JOIN dk USING (etype, eid)""",
 
     // ---------------- graph analytics
 
-    "kg_degree_hist" ->
-      s"""$expectedTriplesCte, deg AS (SELECT subj, COUNT(*) AS degree FROM expected GROUP BY subj)
-SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree""",
-    // identical oracle on purpose: the encoded-id histogram must equal the
-    // string-side histogram exactly (id-agnostic aggregate, collision-free
-    // content hash)
-    "kg_degree_hist_enc" ->
-      s"""$expectedTriplesCte, deg AS (SELECT subj, COUNT(*) AS degree FROM expected GROUP BY subj)
-SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree""",
+    "kg_degree_hist" -> degreeHistOracleSql,
+    // the SAME oracle string on purpose (single-sourced so it cannot
+    // drift): the encoded-id histogram must equal the string-side
+    // histogram exactly (id-agnostic aggregate, collision-free content
+    // hash)
+    "kg_degree_hist_enc" -> degreeHistOracleSql,
     "kg_2hop" ->
       s"""$graphEdgesCte,
 okmid AS (SELECT src AS mid FROM edges GROUP BY src HAVING COUNT(*) <= ${graft.ops.GraphAnalytics.DefaultMaxMidOut})

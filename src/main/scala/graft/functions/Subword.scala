@@ -59,11 +59,60 @@ final class SubwordMatcher(val tokens: Array[String]) extends Serializable {
     m
   }
 
+  private val asciiVocab: Boolean = tokens.forall(_.forall(_ < 0x80))
+
+  /** Byte-level vocabulary index for the ASCII fast path: 128 slots by
+    * first byte, entries longest-first as UTF-8 byte arrays. */
+  @transient private lazy val byFirstByte: Array[Array[Array[Byte]]] = {
+    val idx = new Array[Array[Array[Byte]]](128)
+    tokens.groupBy(_.charAt(0)).foreach { case (c, ts) =>
+      if (c < 0x80) idx(c) = ts.sortBy(-_.length)
+        .map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    }
+    idx
+  }
+
   /** Token count of the whole (already sanitized) string: spaces separate
     * words and emit nothing; within a word, longest vocab prefix else one
     * char per token. Because no vocab entry contains a space, the one-pass
-    * scan is identical to per-word segmentation. */
-  def count(text: UTF8String): Long = count(text.toString)
+    * scan is identical to per-word segmentation.
+    *
+    * Hot path: scan the UTF8String's bytes directly — no String copy, no
+    * UTF-16 decode — valid because for pure-ASCII input 1 byte = 1 char and
+    * an ASCII vocabulary matches byte-for-byte. The first non-ASCII byte
+    * (a UTF-8 lead byte is always visited: matches cover only ASCII vocab
+    * bytes and the fallback advances one byte) bails to the exact UTF-16
+    * String path for the whole value. */
+  def count(text: UTF8String): Long = {
+    if (!asciiVocab) return count(text.toString)
+    val n = text.numBytes()
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      val b = text.getByte(i)
+      if (b < 0) return count(text.toString) // non-ASCII: exact slow path
+      if (b == ' ') i += 1
+      else {
+        var step = 1
+        val cand = byFirstByte(b)
+        if (cand != null) {
+          var j = 0
+          while (j < cand.length && step == 1) {
+            val t = cand(j)
+            if (t.length > 1 && i + t.length <= n) {
+              var k = 1
+              while (k < t.length && text.getByte(i + k) == t(k)) k += 1
+              if (k == t.length) step = t.length
+            }
+            j += 1
+          }
+        }
+        cnt += 1
+        i += step
+      }
+    }
+    cnt
+  }
 
   def count(s: String): Long = {
     var n = 0L

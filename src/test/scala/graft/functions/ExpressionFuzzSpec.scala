@@ -175,15 +175,20 @@ class ExpressionFuzzSpec extends SparkSuite {
     // sanitized alphabet (the registry query lowercases/strips first) plus
     // raw adversarial text — the expression itself must be total on ANY
     // string, including astral-plane chars the sanitizer would remove
+    // "ation"/"the then" pin the greedy property ON THE EXPRESSION: ation
+    // must be ONE token (the 5-char merge, not at+ion), "then" must be
+    // the+n (longest prefix at position 0), regardless of sample luck
     val inputs = (samples(300) ++ samples(300).map(
-      _.toLowerCase.replaceAll("[^a-z0-9]+", " "))).distinct
+      _.toLowerCase.replaceAll("[^a-z0-9]+", " "))
+      :+ "ation" :+ "the then station").distinct
     val df = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val got = df.select(col("doc_id"), GraftFunctions.bpe_count(col("text")).as("n"))
       .as[(Long, Long)].collect().toMap
     inputs.zipWithIndex.foreach { case (t, i) =>
       assert(got(i.toLong) == naive(t), s"doc $i: ${t.take(60)}")
     }
-    // and the greedy property itself: longest merge wins over a shorter one
-    assert(naive("ation") == 1L && got.nonEmpty)
+    // the greedy property asserted on the NATIVE value, not just the
+    // reference: "ation" is one token iff the longest merge won
+    assert(got(inputs.indexOf("ation").toLong) == 1L)
   }
 }
