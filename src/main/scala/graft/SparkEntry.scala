@@ -207,9 +207,12 @@ object SparkEntry {
     "kg_mentions" -> ((s, dir) =>
       Ner.mentions(Transcripts.transcripts(s, dir))),
 
-    // P5 general path: capitalized-span mention candidates
+    // P5 general path: capitalized-span mention candidates.
+    // Transcripts.proseTurns IS transcripts(...).filter(turn_idx % 2 = 1)
+    // by construction (structural parity, spec-pinned) — the direct surface
+    // skips generating the RDF/XML turns the filter would discard (r7).
     "kg_cap_spans" -> ((s, dir) =>
-      Ner.capitalizedSpans(Transcripts.transcripts(s, dir).filter(col("turn_idx") % 2 === 1))),
+      Ner.capitalizedSpans(Transcripts.proseTurns(s, dir))),
 
     // P6 (exact path): shingle-blocked n-gram Jaccard edges over the
     // distinct-mention universe
@@ -289,9 +292,10 @@ object SparkEntry {
     "kg_bfs" -> ((s, dir) => {
       // checkpoint edges ONCE: the two seed derivations and the eager
       // actions inside bfsDistances would otherwise each re-run the full
-      // transcript parse (the thrice-consumed-frame lesson)
+      // transcript parse (the thrice-consumed-frame lesson). Lazy: the
+      // first consumer materializes it; no separate up-front job (r7).
       val edges = graft.ops.GraphAnalytics.nodeEdges(
-        ParseStage.parsedTranscripts(s, dir).toDF()).localCheckpoint(true)
+        ParseStage.parsedTranscripts(s, dir).toDF()).localCheckpoint(false)
       val seeds = edges.select(col("src").as("node")).distinct()
         .join(edges.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
       graft.ops.GraphAnalytics.bfsDistances(edges, seeds, maxHops = 3)
@@ -311,7 +315,11 @@ object SparkEntry {
     // they exist in the plans. CapSeedSpec asserts the non-zero floor.
     "kg_cap_fired" -> ((s, dir) => {
       val t = Transcripts.transcripts(s, dir)
-      // the universe feeds two independent aggregations below — cut once
+      // the universe feeds two independent aggregations below — cut once.
+      // EAGER deliberately (r7 measured lazy as a regression here): the
+      // union's branches execute concurrently in the final action, and a
+      // lazily-checkpointed frame touched by two simultaneous stages gets
+      // computed twice before the cache is populated.
       val universe = Ner.mentionUniverse(t).localCheckpoint(true)
       val hotConvs = Ner.mentions(t).select("conv_id", "mention").distinct()
         .groupBy("conv_id").agg(count(lit(1)).as("k"))
@@ -737,7 +745,10 @@ object SparkEntry {
   private def stampStagedFiles(dir: String, seen: Set[String], mtimeMs: Long): Set[String] = {
     val files = new java.io.File(dir).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    files.filterNot(f => seen(f.getName)).foreach(f => f.setLastModified(mtimeMs))
+    // a failed stamp must abort loudly: silently broken mtime ordering would
+    // surface later as a confusing hash mismatch (r6 ADVICE)
+    files.filterNot(f => seen(f.getName)).foreach(f =>
+      require(f.setLastModified(mtimeMs), s"failed to stamp mtime on $f"))
     files.map(_.getName).toSet
   }
 

@@ -30,6 +30,17 @@ private[functions] object InputCheck {
       s"$name requires an array<string> input (e.g. word_shingles(text, n)), got ${t.sql}")
   }
 
+  /** array<string> (shingles, hashed internally) OR array<long>
+    * (pre-computed fnv1a64 hashes, e.g. word_gram_hashes output). */
+  def stringOrLongArray(e: Expression, name: String): TypeCheckResult = e.dataType match {
+    case ArrayType(_: StringType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case org.apache.spark.sql.types.NullType => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(org.apache.spark.sql.types.NullType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$name requires an array<string> or array<long> input " +
+        s"(e.g. word_shingles(text, n) or word_gram_hashes(text, n)), got ${t.sql}")
+  }
+
   def integral(e: Expression, name: String): TypeCheckResult = e.dataType match {
     case LongType | org.apache.spark.sql.types.IntegerType |
          org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
@@ -91,6 +102,33 @@ object ExprHelpers {
       j += 1
     }
     UnsafeArrayData.fromPrimitiveArray(sig) // no per-element boxing
+  }
+
+  /** [[minhashSig]] over PRE-HASHED shingles (an array<long> of fnv1a64
+    * values, e.g. [[wordGramHashes]] output). Bit-identical to the string
+    * form: `wordGramHashes` emits exactly `fnv1a64(gram string)` per
+    * position, and the per-seed MIN is invariant under duplicate hashes,
+    * so skipping both the gram-string materialization and the per-position
+    * dedup changes nothing. The word-gram dedup hot path uses this to keep
+    * the signature stage free of string building (r7 optimization). */
+  def minhashSigHashed(arr: ArrayData): ArrayData = {
+    val seeds = graft.pipeline.Linking.HashSeeds
+    val sig = Array.fill(seeds.length)(Long.MaxValue)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val x = arr.getLong(j)
+        var i = 0
+        while (i < seeds.length) {
+          val z = graft.pipeline.Linking.fmix64(x ^ seeds(i))
+          if (z < sig(i)) sig(i) = z
+          i += 1
+        }
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
   /** 64-bit SimHash over the whitespace tokens of the text — bit-for-bit the
@@ -314,15 +352,27 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(c)
 }
 
-/** `minhash_sig(array<string>)` → the full 32-long MinHash signature per row
-  * (see [[ExprHelpers.minhashSig]]): the shuffle-free signature stage. */
+/** `minhash_sig(array<string> | array<long>)` → the full 32-long MinHash
+  * signature per row (see [[ExprHelpers.minhashSig]]): the shuffle-free
+  * signature stage. Long-array input = pre-hashed shingles. */
 case class MinHashSig(child: Expression) extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = InputCheck.stringArray(child, "minhash_sig")
+  override def checkInputDataTypes(): TypeCheckResult =
+    InputCheck.stringOrLongArray(child, "minhash_sig")
+  /** array<long> input = pre-computed fnv1a64 shingle hashes (e.g.
+    * word_gram_hashes output) — bit-identical signature, no gram strings
+    * (see [[ExprHelpers.minhashSigHashed]]). */
+  private def hashedInput: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
-    ExprHelpers.minhashSig(v.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.minhashSig($c)")
+    if (hashedInput) ExprHelpers.minhashSigHashed(v.asInstanceOf[ArrayData])
+    else ExprHelpers.minhashSig(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (hashedInput) "minhashSigHashed" else "minhashSig"
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.$fn($c)")
+  }
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
 }
 

@@ -136,6 +136,12 @@ final class SubwordMatcher(val tokens: Array[String]) extends Serializable {
             j += 1
           }
         }
+        // No vocab hit on a supplementary-plane character: advance over the
+        // whole surrogate PAIR so it counts as ONE unmatched token, matching
+        // the documented per-code-point oracle semantics (a lone unit would
+        // otherwise count twice — r6 ADVICE).
+        if (step == 1 && Character.isHighSurrogate(c) && i + 1 < len
+          && Character.isLowSurrogate(s.charAt(i + 1))) step = 2
         n += 1
         i += step
       }

@@ -74,14 +74,31 @@ object Dedup {
             ELSE cast(array() AS array<string>) END""").as("shingles"))
 
   /** Near-dup candidate pairs by exact word-shingle Jaccard >= threshold,
-    * blocked by the shared-shingle inverted index (no O(n²) enumeration). */
+    * blocked by the shared-shingle inverted index (no O(n²) enumeration).
+    *
+    * Shingle identity is the 64-bit fnv1a64 gram hash, not the gram string
+    * (r7 optimization; guide §2.3 "narrower types"): the inverted index —
+    * the checkpointed frame, the set sizes, and BOTH self-join sides —
+    * carries 8-byte longs where 5-word gram strings averaged an order of
+    * magnitude more, and the native `word_gram_hashes` loop never
+    * materializes a gram string at all. Same hash-identity contract as the
+    * substring/decontamination family and the dictionary encoder: a 64-bit
+    * collision between distinct grams would perturb the Jaccard and fail
+    * the driver's oracle gate (birthday bound ~n²/2⁶⁵ over the distinct
+    * gram universe; a 100 TB deployment widens the hash, not the plan). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
                         maxShingleDf: Long = Linking.DefaultMaxShingleDf): DataFrame = {
     // Same one-cut rule as Linking.jaccardEdges: the capped shingle frame
     // is consumed THREE times (sizes + both self-join sides) — without the
-    // eager cut each consumer re-derives the explode + DF-cap anti-join.
-    val sh = Linking.capShingleDf(wordShingleRows(docs, "doc_id", "text"), maxShingleDf)
-      .localCheckpoint(true)
+    // cut each consumer re-derives the explode + DF-cap anti-join. Lazy
+    // checkpoint: same lineage cut and one materialization, without the
+    // eager variant's separate up-front job (r7).
+    val hashedShingles = docs.filter(hasMinTokens(col("text"), 5))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.GraftFunctions.word_gram_hashes(col("text"), 5))).as("shingle"))
+    val sh = Linking.capShingleDf(hashedShingles, maxShingleDf)
+      .localCheckpoint(false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -107,10 +124,18 @@ object Dedup {
     * hub aggregate and the member join share the (band, bandKey) shuffle
     * key, so the exchange is reused. */
   def minhashClusters(docs: DataFrame): DataFrame = {
-    val sigs = Linking.minhashSignaturesOf(
-      wordShingleArrays(docs.select(col("doc_id").cast("string").as("doc_id"), col("text")),
-        "doc_id", "text"),
-      "doc_id", "shingles")
+    // Signature from PRE-HASHED grams (word_gram_hashes → minhash_sig over
+    // array<long>): bit-identical to the string-shingle form — the native
+    // expression hashes each shingle with the same fnv1a64, and the
+    // per-seed MIN is invariant under the duplicates the per-position gram
+    // stream carries — but no gram string (or per-doc LinkedHashSet) is
+    // ever built. DedupSpec pins equality with the defining string path.
+    val sigs = docs
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      .filter(hasMinTokens(col("text"), 5))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhash_sig(
+          graft.functions.GraftFunctions.word_gram_hashes(col("text"), 5)).as("sig"))
     val buckets = sigs.select(col("doc_id"), explode(array(Linking.bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bandKey"))
     val hubs = buckets.groupBy("band", "bandKey").agg(min(col("doc_id")).as("a"))
@@ -173,8 +198,9 @@ object Dedup {
     // One cut: the anchor explode + distinct is consumed three times (the
     // hot-set derivation and both self-join sides); the anti-join below is
     // cheap against the checkpointed frame (AQE broadcasts the hot side).
+    // Lazy checkpoint: same cut, no separate up-front job (r7).
     val perDoc = substringAnchorRows(docs.select(col("doc_id"), col("text")), k, mask)
-      .select("doc_id", "h").distinct().localCheckpoint(true)
+      .select("doc_id", "h").distinct().localCheckpoint(false)
     val hot = perDoc.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxAnchorDf).select("h")
     val capped = perDoc.join(hot, Seq("h"), "left_anti")
@@ -196,7 +222,7 @@ object Dedup {
                         mask: Long = DefaultAnchorMask,
                         maxAnchorDf: Long = Linking.DefaultMaxShingleDf): DataFrame = {
     val anchors = substringAnchorRows(docs.select(col("doc_id"), col("text")), k, mask)
-      .localCheckpoint(true) // consumed by the DF filter AND the back-join
+      .localCheckpoint(false) // consumed by the DF filter AND the back-join (lazy: one job, r7)
     val shared = anchors.select("doc_id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxAnchorDf)

@@ -114,7 +114,7 @@ object GraphAnalytics {
     * traversal the moment the reachable set is exhausted instead of
     * running maxHops empty join rounds. */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3): DataFrame = {
-    val e = edges.localCheckpoint(true) // consumed once per hop
+    val e = edges.localCheckpoint(false) // consumed once per hop (lazy: first hop materializes, r7)
     val d0 = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0).cast("int"))
       .localCheckpoint(true)
@@ -181,15 +181,20 @@ object GraphAnalytics {
   def pageRank(triples: DataFrame, iterations: Int = 3,
                scale: Long = 1000000000L): DataFrame = {
     // One cut for the thrice-consumed edge frame (nodes, outdeg, contribSrc)
-    // — without it each eager checkpoint below re-derives the filter +
-    // distinct shuffle from the triple table (the Linking.jaccardEdges
-    // lesson).
-    val edges = nodeEdges(triples).localCheckpoint(true)
+    // — without it each checkpoint below re-derives the filter + distinct
+    // shuffle from the triple table (the Linking.jaccardEdges lesson).
+    // All checkpoints are LAZY (r7): the lineage cut per iteration is
+    // unchanged (each LogicalRDD truncates the plan), but the whole
+    // recurrence now materializes inside the ONE job the final action
+    // runs, instead of one eager count job per checkpoint — at any scale
+    // the per-iteration exchange work is identical, only the per-job
+    // scheduling round-trips disappear.
+    val edges = nodeEdges(triples).localCheckpoint(false)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val contribSrc = edges.join(outdeg, "src").localCheckpoint(true)
+    val contribSrc = edges.join(outdeg, "src").localCheckpoint(false)
     val base = 15L * scale / 100L
 
     var ranks = nodes.withColumn("rank_fp", lit(scale))
@@ -202,7 +207,7 @@ object GraphAnalytics {
         .select(col("node"),
           expr(s"$base + 85 * (coalesce(contrib, 0L) div 100)" +
             " + (85 * (coalesce(contrib, 0L) % 100)) div 100").as("rank_fp"))
-        .localCheckpoint(true) // cut per-iteration lineage growth
+        .localCheckpoint(false) // cut per-iteration lineage growth
     }
     ranks
   }

@@ -255,7 +255,12 @@ object Similarity {
         .join(cent, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("next"), col("prev")).as("centroid"))
         .select(col("cell"), col("centroid"), norm(col("centroid")).as("cn"))
-        .localCheckpoint()
+        // EAGER deliberately (r7 measured lazy as a regression here): the
+        // next iteration consumes the codebook through a broadcast build —
+        // materializing the bounded nCells rows up front keeps the
+        // broadcast construction a cache read instead of forcing the whole
+        // per-iteration chain inside the broadcast thread
+        .localCheckpoint(true)
     }
     cb
   }
@@ -402,7 +407,7 @@ object Similarity {
       cb = cb.select(col("j"), col("subspace"), col("csub").as("prev"))
         .join(cent, Seq("subspace", "j"), "left")
         .select(col("j"), col("subspace"), coalesce(col("next"), col("prev")).as("csub"))
-        .localCheckpoint()
+        .localCheckpoint(true) // eager: see lloydRefine (r7 measured)
     }
     cb
   }

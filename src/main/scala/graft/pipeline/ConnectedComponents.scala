@@ -61,11 +61,13 @@ object ConnectedComponents {
     val input = edges.select(col("a").cast("string").as("u"), col("b").cast("string").as("v"))
       .filter(col("u") =!= col("v"))
 
-    // Canonical direction: big → small.
+    // Canonical direction: big → small. Lazy checkpoint: the g.count()
+    // guard below materializes it in the same job (the eager variant ran
+    // its own count first, doubling the up-front pass — r7).
     var g = input
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // Node universe from the CHECKPOINTED canonical edges (same node set as
     // `input`: dedup and reorientation drop no endpoints) — deriving it from
@@ -94,11 +96,13 @@ object ConnectedComponents {
       // neighbor and u itself link to m(u) = min of the smaller neighbors.
       val sMins = large.groupBy("u").agg(min(col("v")).as("m"))
       val joined = large.join(sMins, "u")
+      // Lazy: the fingerprint aggregate just below materializes it — the
+      // eager variant paid a separate count job per round (r7).
       val next = joined.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(sMins.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       val fp = fingerprint(next)
       g = next

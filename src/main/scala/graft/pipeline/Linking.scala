@@ -91,7 +91,9 @@ object Linking {
     // shingles/mention) — orders of magnitude below the corpus, and
     // localCheckpoint spills block-wise to executor-local disk, so the cut
     // holds at cluster scale too.
-    val sh = capShingleDf(mentionShingles(mentions), maxShingleDf).localCheckpoint(true)
+    // Lazy checkpoint: same one-materialization cut, without the eager
+    // variant's separate up-front count job (r7).
+    val sh = capShingleDf(mentionShingles(mentions), maxShingleDf).localCheckpoint(false)
     val sizes = sh.groupBy("mention").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
       .filter(col("x.mention") < col("y.mention"))
@@ -235,13 +237,31 @@ object Linking {
 
   /** Candidate pairs from LSH band buckets (a < b, distinct). Bucket
     * membership is capped (see [[DefaultMaxBucketSize]]) so a hot bucket of
-    * m near-identical members costs min(m, cap)² pairs, not m². */
+    * m near-identical members costs min(m, cap)² pairs, not m².
+    *
+    * Pair generation is per-bucket from DISTINCT member sets, not a bucket
+    * self-join (r7 optimization; guide §2.3/§2.4): `b ⋈ b` on the bucket
+    * key planned the entire signature derivation TWICE (the broadcast build
+    * side re-derives scan → mentions → distinct → signatures → cap), and a
+    * cluster of identical signatures emits its full pair set once PER BAND
+    * — 8× duplicate pre-distinct pairs for the seeded celebrity cluster —
+    * where buckets with the same member set yield the same pairs by
+    * definition. Collecting each bucket's members (bounded by the cap, so
+    * the list row is bounded at any corpus scale), deduplicating the member
+    * LISTS, and exploding a < b pairs from the sorted list emits each
+    * cluster's pairs once; the groupBy shares the cap window's (band,
+    * bandKey) exchange, so this also removes the self-join's probe-side
+    * exchange. Result set is identical: a pair is a candidate iff both
+    * members share some capped bucket iff they appear in some distinct
+    * member set; `sort_array` + tail-slice reproduces the `x.mention <
+    * y.mention` canonical order (same UTF8 binary comparison). */
   def lshCandidates(mentions: DataFrame,
                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val b = capBucket(lshBuckets(mentions), Seq("band", "bandKey"), "mention", maxBucketSize)
-    b.as("x").join(b.as("y"), Seq("band", "bandKey"))
-      .filter(col("x.mention") < col("y.mention"))
-      .select(col("x.mention").as("a"), col("y.mention").as("b"))
+    b.groupBy("band", "bandKey").agg(sort_array(collect_list(col("mention"))).as("ms"))
+      .select("ms").filter(size(col("ms")) >= 2).distinct()
+      .select(posexplode(col("ms")).as(Seq("i", "a")), col("ms"))
+      .select(col("a"), explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("b"))
       .distinct()
   }
 

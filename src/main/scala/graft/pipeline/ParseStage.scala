@@ -103,7 +103,11 @@ object ParseStage {
     parseQuads(payloadTurns(spark, sfDir), opts)
 
   /** The even-turn payload convention, pinned in exactly one place so the
-    * triple and quad surfaces can never diverge. */
+    * triple and quad surfaces can never diverge. `Transcripts.payloadTurns`
+    * IS `transcripts(...).filter(turn_idx % 2 = 0)` by construction
+    * (structural turn parity, spec-pinned) — emitted directly so the parse
+    * family never generates the prose turns it would discard, nor reads or
+    * shuffles the raw text column they embed (r7 optimization). */
   private def payloadTurns(spark: SparkSession, sfDir: String): DataFrame =
-    Transcripts.transcripts(spark, sfDir).filter(col("turn_idx") % 2 === 0)
+    Transcripts.payloadTurns(spark, sfDir)
 }

@@ -167,29 +167,54 @@ object Transcripts {
     when(col("doc_id") === HubDoc, concat(hubMentionsExpr, lit(" "))).otherwise(lit("")),
     col("text"))
 
-  /** The transcript table. Deterministic; schema matches input_hint. */
-  def transcripts(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = documents(spark, sfDir)
-      .select("doc_id", "text", "lang", "source", "n_chars")
-    val withConv = docs
+  /** Shared scan + conversation-rank base of every transcript surface.
+    * `needText` = false drops the raw document text BEFORE the rank
+    * window's exchange: the RDF/XML templates are pure functions of
+    * (doc_id, lang, source, n_chars), so payload-only consumers (the whole
+    * parse family) neither read the text column from parquet (ReadSchema
+    * shrinks) nor shuffle it through the window — the optimization guide's
+    * "shuffle keys and metadata instead of payloads" applied to the
+    * corpus's one wide column. */
+  private def withConv(spark: SparkSession, sfDir: String, needText: Boolean): DataFrame = {
+    val cols =
+      if (needText) Seq("doc_id", "text", "lang", "source", "n_chars")
+      else Seq("doc_id", "lang", "source", "n_chars")
+    documents(spark, sfDir)
+      .select(cols.map(col): _*)
       .withColumn("conv_id", concat(lit("conv-"), (col("doc_id") % Convs).cast("string")))
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("doc_id") % Convs).orderBy("doc_id")) - 1)
-    val role = when(col("doc_id") % 3 === 0, "user")
-      .when(col("doc_id") % 3 === 1, "assistant")
-      .otherwise("tool")
-    // 2026-01-01T00:00:00Z epoch seconds; cast(bigint as timestamp) is UTC.
-    val epoch = lit(1767225600L)
+  }
 
-    val rdfTurns = withConv.select(
+  private def rdfRole = when(col("doc_id") % 3 === 0, "user")
+    .when(col("doc_id") % 3 === 1, "assistant")
+    .otherwise("tool")
+
+  // 2026-01-01T00:00:00Z epoch seconds; cast(bigint as timestamp) is UTC.
+  private val epoch = lit(1767225600L)
+
+  /** The even-turn RDF/XML payloads — EXACTLY
+    * `transcripts(...).filter(turn_idx % 2 = 0)` by construction
+    * (turn_idx = 2·rn is structurally even, the prose turn 2·rn+1 odd, for
+    * ANY input corpus — TranscriptShapeSpec pins the equality). Emitting
+    * the single branch directly spares the parse family the generation of
+    * the prose turns it would discard, and (via `needText = false`) the
+    * scan + shuffle of the raw text column those turns embed. */
+  def payloadTurns(spark: SparkSession, sfDir: String): DataFrame =
+    withConv(spark, sfDir, needText = false).select(
       col("conv_id"),
       (col("rn") * 2).cast("int").as("turn_idx"),
-      role.as("role"),
+      rdfRole.as("role"),
       rdfXmlText.as("text"),
       when(col("doc_id") % 3 === 2, "kg-extractor").otherwise(null).as("tool"),
       (epoch + col("doc_id") * 2).cast("timestamp").as("ts"),
       col("doc_id"))
-    val proseTurns = withConv.select(
+
+  /** The odd-turn prose mirror of [[payloadTurns]] — exactly
+    * `transcripts(...).filter(turn_idx % 2 = 1)` (same structural parity
+    * argument, same spec pin). */
+  def proseTurns(spark: SparkSession, sfDir: String): DataFrame =
+    withConv(spark, sfDir, needText = true).select(
       col("conv_id"),
       (col("rn") * 2 + 1).cast("int").as("turn_idx"),
       lit("tool").as("role"),
@@ -197,6 +222,31 @@ object Transcripts {
       lit("search").as("tool"),
       (epoch + col("doc_id") * 2 + 1).cast("timestamp").as("ts"),
       col("doc_id"))
-    rdfTurns.unionAll(proseTurns)
+
+  /** The transcript table. Deterministic; schema matches input_hint.
+    * Both turns of a document are generated from ONE base row via a 2-way
+    * inline explode: the previous `rdfTurns.unionAll(proseTurns)` planned
+    * two full scan + rank-window subtrees (the documents scan and the
+    * conversation-rank exchange both ran twice per consumer); the explode
+    * keeps one scan and one window at identical output rows. */
+  def transcripts(spark: SparkSession, sfDir: String): DataFrame = {
+    val turns = array(
+      struct(
+        (col("rn") * 2).cast("int").as("turn_idx"),
+        rdfRole.as("role"),
+        rdfXmlText.as("text"),
+        when(col("doc_id") % 3 === 2, "kg-extractor").otherwise(null).as("tool"),
+        (epoch + col("doc_id") * 2).cast("timestamp").as("ts")),
+      struct(
+        (col("rn") * 2 + 1).cast("int").as("turn_idx"),
+        lit("tool").as("role"),
+        proseText.as("text"),
+        lit("search").as("tool"),
+        (epoch + col("doc_id") * 2 + 1).cast("timestamp").as("ts")))
+    withConv(spark, sfDir, needText = true)
+      .select(col("conv_id"), col("doc_id"), explode(turns).as("t"))
+      .select(col("conv_id"), col("t.turn_idx").as("turn_idx"), col("t.role").as("role"),
+        col("t.text").as("text"), col("t.tool").as("tool"), col("t.ts").as("ts"),
+        col("doc_id"))
   }
 }

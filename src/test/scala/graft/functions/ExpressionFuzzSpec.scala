@@ -167,7 +167,13 @@ class ExpressionFuzzSpec extends SparkSuite {
       var i = 0; var n = 0L
       while (i < word.length) {
         val hit = vocab.filter(t => word.startsWith(t, i)).map(_.length)
-        val step = if (hit.isEmpty) 1 else hit.max
+        // unmatched fallback advances one CODE POINT (surrogate pair = one
+        // token), the documented per-code-point semantics (r6 ADVICE fix)
+        val step =
+          if (hit.nonEmpty) hit.max
+          else if (Character.isHighSurrogate(word(i)) && i + 1 < word.length
+            && Character.isLowSurrogate(word(i + 1))) 2
+          else 1
         n += 1; i += step
       }
       n
