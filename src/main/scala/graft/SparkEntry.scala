@@ -145,12 +145,18 @@ object SparkEntry {
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
           col("event_id"), col("event_type"), col("value"))
-      ev.filter(col("event_type") === "click").coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/c")
-      ev.filter(col("event_type") === "purchase").coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/p")
-      val cs = s.readStream.schema(ev.schema).parquet(s"$root/c")
-      val ps = s.readStream.schema(ev.schema).parquet(s"$root/p")
+      // ONE staging pass: a partitioned write lays the click and purchase
+      // slices out as sibling directories of a single scan+write job (the
+      // previous two filtered writes each re-scanned the events table —
+      // r7; guide §1.2 "don't compute things you throw away"). The
+      // partition column lives in the directory name, so the staged files
+      // carry the remaining four columns — exactly what the join consumes.
+      ev.filter(col("event_type").isin("click", "purchase")).coalesce(1)
+        .write.mode("overwrite").partitionBy("event_type").parquet(s"$root/in")
+      val staged = org.apache.spark.sql.types.StructType(
+        ev.schema.filterNot(_.name == "event_type"))
+      val cs = s.readStream.schema(staged).parquet(s"$root/in/event_type=click")
+      val ps = s.readStream.schema(staged).parquet(s"$root/in/event_type=purchase")
       runAvailableNow(s, graft.streaming.StreamingJoins.clickAttribution(cs, ps)
         .select(col("user_id"), col("click_id"), col("purchase_id"),
           unix_micros(col("click_ts")).as("click_us"),
@@ -176,7 +182,15 @@ object SparkEntry {
       batch.coalesce(1).write.mode("overwrite").parquet(s"$root/in")
       val t0 = System.currentTimeMillis()
       val seen = stampStagedFiles(s"$root/in", Set.empty, t0)
-      batch.coalesce(1).write.mode("append").parquet(s"$root/in")
+      // The duplicate arrival is the SAME rows again: stage it as a byte
+      // copy of the just-written part file(s) under a new name (the file
+      // log keys by path, so a copied file is a new file) instead of
+      // re-running the whole scan+write job on the identical deterministic
+      // frame (r7; guide §1.2 "don't compute things you throw away").
+      val inDir = new java.io.File(s"$root/in")
+      inDir.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(f.toPath, new java.io.File(inDir, "copy-" + f.getName).toPath)
+      }
       stampStagedFiles(s"$root/in", seen, t0 + 60000L)
       val src = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
@@ -720,6 +734,17 @@ object SparkEntry {
   private def streamSession(s: SparkSession, partitions: Int = 8): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // No-data micro-batches exist to advance the watermark so that
+    // timeout-driven state (sessions) can flush after the last data batch.
+    // All three stateful gates complete their emission in DATA batches by
+    // construction — the sessionizer because the two future-dated sentinel
+    // batches drive the watermark past every real session's end+gap, the
+    // interval join and watermark dedup because their emission is
+    // data-driven (eviction never adds output) — so the trailing no-data
+    // batch was a pure fixed cost (measured 0.3–0.8 s per gate: one full
+    // state-store init+commit round across all partitions). r7; the probe
+    // evidence is in OPTIMIZATION_r07.md.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     ss
   }
 
