@@ -329,13 +329,20 @@ object SparkEntry {
     // they exist in the plans. CapSeedSpec asserts the non-zero floor.
     "kg_cap_fired" -> ((s, dir) => {
       val t = Transcripts.transcripts(s, dir)
-      // the universe feeds two independent aggregations below — cut once.
-      // EAGER deliberately (r7 measured lazy as a regression here): the
-      // union's branches execute concurrently in the final action, and a
-      // lazily-checkpointed frame touched by two simultaneous stages gets
+      // Mention OCCURRENCES are cut once and feed both the co-occurrence
+      // branch and the universe (r7: hotConvs previously re-derived the
+      // whole transcripts+regex chain a second time). EAGER deliberately
+      // (r7 measured lazy as a regression here): the union's branches
+      // execute concurrently in the final action, and a lazily-
+      // checkpointed frame touched by two simultaneous stages gets
       // computed twice before the cache is populated.
-      val universe = Ner.mentionUniverse(t).localCheckpoint(true)
-      val hotConvs = Ner.mentions(t).select("conv_id", "mention").distinct()
+      // occ is LAZY: the universe's eager checkpoint materializes it (and
+      // its cache) inside the one up-front job, so the final action's
+      // concurrent branches read both caches — an eager occ added a third
+      // sequential driver job and measured slower (r7).
+      val occ = Ner.mentions(t).localCheckpoint(false)
+      val universe = occ.select("mention").distinct().localCheckpoint(true)
+      val hotConvs = occ.select("conv_id", "mention").distinct()
         .groupBy("conv_id").agg(count(lit(1)).as("k"))
         .filter(col("k") > graft.ops.GraphAnalytics.DefaultMaxPerGroup)
         .agg(count(lit(1)).as("n")).select(lit("cooccur_group").as("cap"), col("n"))
@@ -692,13 +699,25 @@ object SparkEntry {
       val orders = s.read.parquet(s"$dir/orders.parquet")
       val snapshot = orders.select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
       val keys = orders.select(col("o_orderkey").as("k"))
-      val delta =
-        keys.filter(col("k") % 7 === 3)
-          .select(col("k"), lit("U1").as("v"), lit(1L).as("ver"), lit("U").as("op"))
-        .unionByName(keys.filter(col("k") % 7 === 5)
-          .select(col("k"), lit(null).cast("string").as("v"), lit(1L).as("ver"), lit("D").as("op")))
-        .unionByName(keys.filter(col("k") % 11 === 4)
-          .select(col("k"), lit("U2").as("v"), lit(2L).as("ver"), lit("U").as("op")))
+      // The three delta batches in ONE scan: per key, explode exactly the
+      // candidate rows whose modular rule matches (same multiset as the
+      // previous three filtered-union branches, which scanned orders once
+      // each — r7; guide §1.2). The `m` flag drives the filter HOF and is
+      // dropped before the merge.
+      val cand = array(
+        struct(lit("U1").as("v"), lit(1L).as("ver"), lit("U").as("op"),
+          (col("k") % 7 === 3).as("m")),
+        struct(lit(null).cast("string").as("v"), lit(1L).as("ver"), lit("D").as("op"),
+          (col("k") % 7 === 5).as("m")),
+        struct(lit("U2").as("v"), lit(2L).as("ver"), lit("U").as("op"),
+          (col("k") % 11 === 4).as("m")))
+      val delta = keys
+        // explode all three candidates, then a codegen'd filter on the
+        // match flag — not a filter() HOF inside the explode, which is an
+        // interpreted lambda per row
+        .select(col("k"), explode(cand).as("d"))
+        .filter(col("d.m"))
+        .select(col("k"), col("d.v").as("v"), col("d.ver").as("ver"), col("d.op").as("op"))
       graft.ops.Merge.upsertMerge(snapshot, delta, Seq("k"))
     }),
   )

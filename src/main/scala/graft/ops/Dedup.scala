@@ -296,9 +296,17 @@ object Dedup {
     val matched = grams(corpus.select(col("doc_id"), col("text")))
       .join(broadcast(evalGrams), Seq("h"))
       .select("doc_id", "h").distinct()
-    val hot = matched.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxGramDf).select("h")
-    matched.join(hot, Seq("h"), "left_anti")
+    // Boilerplate cap as a COUNT WINDOW over the matched subset (r7): the
+    // previous hot-set anti-join consumed `matched` twice, and each copy
+    // re-planned the full corpus gram scan + broadcast semi-join (8 scans
+    // of the corpus in the gated query's plan). One window exchange on the
+    // gram hash over the (small, eval-matching) subset computes the same
+    // per-gram document frequency; rows above the cap are filtered —
+    // identical result, and the corpus gram index is still derived (and
+    // scanned) exactly once, map-side against the broadcast eval set.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    matched.withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxGramDf)
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
   }
 

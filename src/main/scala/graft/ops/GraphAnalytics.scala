@@ -66,12 +66,16 @@ object GraphAnalytics {
     * skipping intermediate nodes whose out-degree exceeds `maxMidOut` (the
     * celebrity cut — see the scale note above). */
   def twoHopCounts(edges: DataFrame, maxMidOut: Int = DefaultMaxMidOut): DataFrame = {
-    val okMid = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // One cut for the thrice-consumed edge frame (cap aggregate + both hop
+    // sides): the gated query's edges are a full parse + distinct, and
+    // without the cut that derivation planned once per consumer (r7).
+    val e = edges.localCheckpoint(true)
+    val okMid = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .filter(col("outdeg") <= maxMidOut)
       .select(col("src").as("mid"))
-    edges.as("e1")
+    e.as("e1")
       .join(okMid, col("e1.dst") === col("mid"))
-      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
       .groupBy(col("e1.src").as("src"))
       .agg(countDistinct(col("e2.dst")).as("n_2hop"))
   }
@@ -83,7 +87,9 @@ object GraphAnalytics {
     * Cost is bounded by the edge list itself (already DF-capped upstream);
     * the join is two equi-joins, never a cartesian. */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val e = edges.select("a", "b")
+    // Thrice-consumed edge list (e1/e2/e3): cut once — the gated query's
+    // edges are the whole Jaccard-blocking chain (r7).
+    val e = edges.select("a", "b").localCheckpoint(true)
     e.as("e1")
       .join(e.as("e2"), col("e2.a") === col("e1.b"))
       .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
@@ -117,17 +123,22 @@ object GraphAnalytics {
     val e = edges.localCheckpoint(false) // consumed once per hop (lazy: first hop materializes, r7)
     val d0 = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0).cast("int"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var settled = Vector(d0) // each element individually checkpointed
     var frontier = d0.select("node")
+    // One count() per hop materializes the (lazily-marked) checkpoint AND
+    // is the convergence check — the previous eager-checkpoint + isEmpty
+    // pair ran two driver actions per hop for the same information (r7).
+    var frontierSize = d0.count()
     var hop = 1
-    while (hop <= maxHops && !frontier.isEmpty) {
+    while (hop <= maxHops && frontierSize > 0) {
       val visited = settled.map(_.select("node")).reduce(_ union _)
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(hop).cast("int"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      frontierSize = next.count()
       settled :+= next
       frontier = next.select("node")
       hop += 1
@@ -150,7 +161,12 @@ object GraphAnalytics {
     * join sides share the group key, so the exchange is reused. The `<`
     * canonical order makes each pair counted once per group. */
   def cooccurrence(mentionOcc: DataFrame, maxPerGroup: Int = DefaultMaxPerGroup): DataFrame = {
-    val m = mentionOcc.select("conv_id", "mention").distinct()
+    // One cut for the thrice-consumed distinct frame (cap aggregate + both
+    // self-join sides): without it the pair self-join planned the whole
+    // upstream occurrence derivation once per consumer — 8 scans of the
+    // corpus in the gated query's plan (r7; the jaccardEdges lesson).
+    // Eager: the consumers run concurrently in the final action.
+    val m = mentionOcc.select("conv_id", "mention").distinct().localCheckpoint(true)
     val ok = m.groupBy("conv_id").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxPerGroup)
       .select("conv_id")

@@ -86,13 +86,13 @@ object Linking {
     // The capped shingle frame is consumed THREE times (set sizes + both
     // sides of the shared-shingle self-join); without a cut, each consumer
     // re-derives the whole upstream (transcript window + regex extract +
-    // distinct — r2 bench showed kg_canonical paying that 3×). One eager
+    // distinct — r2 bench showed kg_canonical paying that 3×). One
     // localCheckpoint materializes it once; it is O(distinct mentions ×
     // shingles/mention) — orders of magnitude below the corpus, and
     // localCheckpoint spills block-wise to executor-local disk, so the cut
-    // holds at cluster scale too.
-    // Lazy checkpoint: same one-materialization cut, without the eager
-    // variant's separate up-front count job (r7).
+    // holds at cluster scale too. LAZY (r7, A/B-measured): same cut, no
+    // separate up-front count job; the self-join's two sides share one
+    // exchange, so the first touch materializes the cache for everyone.
     val sh = capShingleDf(mentionShingles(mentions), maxShingleDf).localCheckpoint(false)
     val sizes = sh.groupBy("mention").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
