@@ -327,12 +327,18 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    maxBucketSize: Int = Linking.DefaultMaxBucketSize): DataFrame = {
     val sh = simhash(docs)
+    // One cut for the twice-consumed capped frame: the pair self-join's
+    // build side otherwise re-plans the signature scan + band explode +
+    // cap window a second time (r7; the lshCandidates lesson — here the
+    // per-pair hamming verify still needs both sides' signatures, so the
+    // self-join stays and only the derivation is deduplicated).
     val bands = Linking.capBucket(
       sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
         .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key")),
       Seq("band", "key"), "doc_id", maxBucketSize)
+      .localCheckpoint(false)
     bands.as("x").join(bands.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),

@@ -323,6 +323,12 @@ object Similarity {
                       tables: Int = 8, bitsPerTable: Int = 4,
                       maxBucketSize: Int = graft.pipeline.Linking.DefaultMaxBucketSize,
                       dim: Int = 0): DataFrame = {
+    // NO checkpoint cut here, deliberately (r7): any localCheckpoint —
+    // even lazy — materializes the upstream AQE stages at construction
+    // time, and the sim queries pin job-free plan construction (PlanSpec
+    // "ZERO driver-side probe jobs"). The self-join's two sides share the
+    // (table, bucket) exchange via ReuseExchange, so the duplicated
+    // subtree costs one extra window sort, not a second shuffle.
     val b = graft.pipeline.Linking.capBucket(
       hyperplaneBuckets(embeddings, tables, bitsPerTable, dim),
       Seq("table", "bucket"), "vec_id", maxBucketSize)
