@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   *
   * Two blocking paths over mention character shingles:
   *   - exact n-gram Jaccard (DuckDB-oracle-able, the correctness gate);
-  *   - MinHash-LSH (the scale path: signature via aggregation, band-bucket
-  *     self-join; verified against exact Jaccard in ScalaTest).
+  *   - MinHash-LSH (the scale path: per-row native signature, band-bucket
+  *     blocking with per-bucket member-set pair emission; verified against
+  *     exact Jaccard in ScalaTest).
   * plus a broadcast-dictionary scoring stage (P7): mention → canonical
   * entity via a small dictionary dim that is explicitly `broadcast()`.
   *
