@@ -331,15 +331,14 @@ object SparkEntry {
       val t = Transcripts.transcripts(s, dir)
       // Mention OCCURRENCES are cut once and feed both the co-occurrence
       // branch and the universe (r7: hotConvs previously re-derived the
-      // whole transcripts+regex chain a second time). EAGER deliberately
-      // (r7 measured lazy as a regression here): the union's branches
-      // execute concurrently in the final action, and a lazily-
-      // checkpointed frame touched by two simultaneous stages gets
-      // computed twice before the cache is populated.
-      // occ is LAZY: the universe's eager checkpoint materializes it (and
-      // its cache) inside the one up-front job, so the final action's
-      // concurrent branches read both caches — an eager occ added a third
-      // sequential driver job and measured slower (r7).
+      // whole transcripts+regex chain a second time). The universe stays
+      // EAGER (r7 measured lazy as a regression: the union's branches run
+      // concurrently in the final action, and a lazily-checkpointed frame
+      // touched by two simultaneous stages computes twice before its cache
+      // is populated); occ underneath it is LAZY — the universe's eager
+      // materialization populates occ's cache inside the same up-front
+      // job, and an eager occ added a third sequential driver job and
+      // measured slower.
       val occ = Ner.mentions(t).localCheckpoint(false)
       val universe = occ.select("mention").distinct().localCheckpoint(true)
       val hotConvs = occ.select("conv_id", "mention").distinct()

@@ -196,7 +196,7 @@ object Transcripts {
   /** The even-turn RDF/XML payloads — EXACTLY
     * `transcripts(...).filter(turn_idx % 2 = 0)` by construction
     * (turn_idx = 2·rn is structurally even, the prose turn 2·rn+1 odd, for
-    * ANY input corpus — TranscriptShapeSpec pins the equality). Emitting
+    * ANY input corpus — RestructureEquivalenceSpec pins the equality). Emitting
     * the single branch directly spares the parse family the generation of
     * the prose turns it would discard, and (via `needText = false`) the
     * scan + shuffle of the raw text column those turns embed. */
