@@ -86,11 +86,48 @@ object BenchExtra {
         println(f"""{"metric":"noop_total","value":${results.map(_._2).sum}%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
       case Some("streamprobe") =>
         streamProbe(spark, sfDir)
+      case Some("abassign") =>
+        abAssign(spark, sfDir)
       case other =>
         System.err.println(s"usage: BenchExtra plans <outDir> [suffix] | noop [q1,q2,...] | streamprobe; got $other")
         sys.exit(2)
     }
     spark.stop()
+  }
+
+  /** Interleaved A/B of the r7 map-side argmax/argmin assignment kernels
+    * against their defining aggregate formulations (guide §1: the VM's
+    * weather swings full-suite runs by ±30%; alternating both forms inside
+    * one JVM cancels it to first order). Noop sink — every column computed.
+    * A = defining groupBy aggregate, B = map-side native kernel. */
+  private def abAssign(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val e = Similarity.withNorms(emb)
+    val cb = Similarity.coarseCodebook(e, 16)
+    def t(f: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val cases: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "assignA" -> (() => Similarity.coarseAssignByAgg(e, cb)),
+      "assignB" -> (() => Similarity.coarseAssign(e, cb)),
+      "pqA" -> (() => Similarity.pqCodesByAgg(emb, dim = 64)),
+      "pqB" -> (() => Similarity.pqCodes(emb, dim = 64)),
+      "ivfTrainedB" -> (() => Similarity.ivfTopK(emb, 16, 5, trainIters = 2)),
+      "pqTrainedB" -> (() => Similarity.pqCodes(emb, dim = 64, trainIters = 2)))
+    val reps = sys.env.get("SPARK_GRAFT_AB_REPS").flatMap(_.toIntOption).getOrElse(5)
+    val acc = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    for (r <- 1 to reps; (name, f) <- cases) {
+      spark.sparkContext.setJobDescription(s"ab:$name#$r")
+      acc(name) = t(f()) :: acc(name)
+    }
+    val out = cases.map { case (name, _) =>
+      f""""$name":${acc(name).min}%.3f"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"abassign_min","reps":$reps,"queries":$out,"sf":"$sfDir"}""")
   }
 
   /** Stage-isolated timing of the streaming gates' envelope pieces

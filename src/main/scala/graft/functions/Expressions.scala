@@ -291,6 +291,88 @@ object ExprHelpers {
     s
   }
 
+  /** Index (0-based) of the codebook centroid maximizing
+    * `dotF64(emb, cents(i)) / (n * cnorms(i))` — the map-side form of the
+    * IVF coarse-assignment argmax. Row-identical to the defining aggregate
+    * formulation `max(struct(score, -cell))` over the exploded
+    * vector×codebook cross join (the DuckDB oracles replay that form):
+    * same dot fold, same `n * cn` multiply-then-divide, and the comparison
+    * replicates Spark's struct order exactly —
+    *  - a ZERO divisor makes the score NULL (Spark's non-ANSI Divide;
+    *    under ANSI the defining form refuses the row at runtime, a state
+    *    the gated corpus never reaches — no zero norms), as does a null
+    *    centroid / length-mismatched dot;
+    *  - null scores sort FIRST, so a null entry only wins when EVERY score
+    *    is null, where the smallest cell wins (the struct tie falls to
+    *    max(-cell));
+    *  - among real scores NaN sits above every value, `-0.0 = 0.0` (Java
+    *    primitive `>` agrees), and ties keep the FIRST (smallest) index.
+    * Null only for an empty codebook. ExpressionFuzzSpec pins all of this
+    * against the defining aggregate. Replacing the `groupBy(vec_id)`
+    * argmax removes the per-assignment exchange that carried the full
+    * embedding column — at corpus scale a corpus-sized shuffle per k-means
+    * iteration (r7 optimization). */
+  def argmaxCos(emb: ArrayData, n: Double, cents: ArrayData, cnorms: ArrayData,
+                embKind: Int, centKind: Int): java.lang.Integer = {
+    val k = cents.numElements()
+    if (cnorms.numElements() != k) return null
+    var best = -1
+    var bestS = 0.0
+    var bestNull = true
+    var i = 0
+    while (i < k) {
+      var s = 0.0
+      var sNull = true
+      if (!cents.isNullAt(i) && !cnorms.isNullAt(i)) {
+        val div = n * cnorms.getDouble(i)
+        val d = dotF64(emb, cents.getArray(i), embKind, centKind)
+        if (d != null && div != 0.0) { s = d.doubleValue() / div; sNull = false }
+      }
+      val better =
+        if (best < 0) true
+        else if (sNull) false // null sorts first; ascending i ⇒ the struct tie never flips
+        else bestNull || s > bestS ||
+          (java.lang.Double.isNaN(s) && !java.lang.Double.isNaN(bestS))
+      if (better) { best = i; bestS = s; bestNull = sNull }
+      i += 1
+    }
+    if (best < 0) null else Integer.valueOf(best)
+  }
+
+  /** Index (0-based) of the codebook centroid minimizing
+    * `sqL2F64(v, cents(j))` — the map-side form of the PQ code argmin,
+    * row-identical to the defining `min(struct(dist, j))` aggregate over
+    * the exploded candidate rows: same left-to-right distance fold, and
+    * Spark's struct MIN order exactly — null distances (null centroid /
+    * length-mismatched fold) sort FIRST and therefore WIN the min (first
+    * such index on ties); among real distances NaN sits above every value
+    * (never displaces a valid one), `-0.0 = 0.0`, first (smallest) index
+    * on ties. Null only for an empty codebook. */
+  def argminSqL2(v: ArrayData, cents: ArrayData,
+                 vKind: Int, centKind: Int): java.lang.Integer = {
+    val k = cents.numElements()
+    var best = -1
+    var bestD = 0.0
+    var bestNull = true
+    var i = 0
+    while (i < k) {
+      var dd = 0.0
+      var dNull = true
+      if (!cents.isNullAt(i)) {
+        val d = sqL2F64(v, cents.getArray(i), vKind, centKind)
+        if (d != null) { dd = d.doubleValue(); dNull = false }
+      }
+      val better =
+        if (best < 0) true
+        else if (dNull) !bestNull // null sorts first: beats any real distance, ties keep the first
+        else if (bestNull) false
+        else dd < bestD || (!java.lang.Double.isNaN(dd) && java.lang.Double.isNaN(bestD))
+      if (better) { best = i; bestD = dd; bestNull = dNull }
+      i += 1
+    }
+    if (best < 0) null else Integer.valueOf(best)
+  }
+
   @inline private def elem(arr: ArrayData, i: Int, kind: Int): Double = kind match {
     case KindDouble => arr.getDouble(i)
     case KindFloat => arr.getFloat(i).toDouble
@@ -506,6 +588,104 @@ case class SqL2F64(left: Expression, right: Expression) extends BinaryExpression
     copy(left = l, right = r)
 }
 
+/** Shared numeric-array-of-arrays kind resolution for the argmax/argmin
+  * codebook expressions: the OUTER array's element must itself be a numeric
+  * array; returns the inner element-kind code or -1. */
+private[functions] object NestedArrayKind {
+  def kindOf(t: DataType): Int = t match {
+    case ArrayType(DoubleType, _) => ExprHelpers.KindDouble
+    case ArrayType(FloatType, _) => ExprHelpers.KindFloat
+    case ArrayType(LongType, _) => ExprHelpers.KindLong
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => ExprHelpers.KindInt
+    case ArrayType(org.apache.spark.sql.types.ShortType, _) => ExprHelpers.KindShort
+    case ArrayType(org.apache.spark.sql.types.ByteType, _) => ExprHelpers.KindByte
+    case _ => -1
+  }
+  def innerKindOf(t: DataType): Int = t match {
+    case ArrayType(inner, _) => kindOf(inner)
+    case _ => -1
+  }
+}
+
+/** `argmax_cos(embedding, n, cents, cnorms)` → 0-based index of the
+  * codebook centroid with the maximal cosine score
+  * `dot_f64(embedding, cents[i]) / (n * cnorms[i])` (see
+  * [[ExprHelpers.argmaxCos]] for the exact tie/NaN order contract — it is
+  * Spark's `max(struct(score, -index))`). The map-side IVF assignment
+  * kernel: one call per row replaces a nCells-way explode + groupBy argmax,
+  * so the assignment never shuffles the embedding column (r7). */
+case class ArgMaxCos(first: Expression, second: Expression,
+                     third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isNull(e: Expression) = e.dataType == NullType
+    val embOk = NestedArrayKind.kindOf(first.dataType) >= 0 || isNull(first)
+    val nOk = second.dataType == DoubleType || isNull(second)
+    val centsOk = NestedArrayKind.innerKindOf(third.dataType) >= 0 || isNull(third)
+    val cnOk = fourth.dataType == ArrayType(DoubleType, containsNull = false) ||
+      fourth.dataType == ArrayType(DoubleType, containsNull = true) || isNull(fourth)
+    if (embOk && nOk && centsOk && cnOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "argmax_cos requires (numeric array, double, array<numeric array>, array<double>), got " +
+        children.map(_.dataType.sql).mkString(", "))
+  }
+  @transient private lazy val embKind = NestedArrayKind.kindOf(first.dataType)
+  @transient private lazy val centKind = NestedArrayKind.innerKindOf(third.dataType)
+  override protected def nullSafeEval(e: Any, n: Any, c: Any, cn: Any): Any =
+    ExprHelpers.argmaxCos(e.asInstanceOf[ArrayData], n.asInstanceOf[Double],
+      c.asInstanceOf[ArrayData], cn.asInstanceOf[ArrayData], embKind, centKind)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, n, c, cn) => {
+      val r = ctx.freshName("argmaxRes")
+      s"""
+         |java.lang.Integer $r = graft.functions.ExprHelpers.argmaxCos($e, $n, $c, $cn, $embKind, $centKind);
+         |${ev.isNull} = $r == null;
+         |${ev.value} = ${ev.isNull} ? -1 : $r.intValue();
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): ArgMaxCos =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** `argmin_sql2(vsub, cents)` → 0-based index of the codebook centroid with
+  * the minimal squared-L2 distance `sq_l2_f64(vsub, cents[j])` (see
+  * [[ExprHelpers.argminSqL2]] — exactly Spark's `min(struct(dist, index))`).
+  * The map-side PQ code-assignment kernel: replaces the k-way explode +
+  * groupBy argmin, so PQ encoding is a pure projection (r7). */
+case class ArgMinSqL2(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isNull(e: Expression) = e.dataType == NullType
+    val vOk = NestedArrayKind.kindOf(left.dataType) >= 0 || isNull(left)
+    val centsOk = NestedArrayKind.innerKindOf(right.dataType) >= 0 || isNull(right)
+    if (vOk && centsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "argmin_sql2 requires (numeric array, array<numeric array>), got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+  @transient private lazy val vKind = NestedArrayKind.kindOf(left.dataType)
+  @transient private lazy val centKind = NestedArrayKind.innerKindOf(right.dataType)
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    ExprHelpers.argminSqL2(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], vKind, centKind)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val r = ctx.freshName("argminRes")
+      s"""
+         |java.lang.Integer $r = graft.functions.ExprHelpers.argminSqL2($v, $c, $vKind, $centKind);
+         |${ev.isNull} = $r == null;
+         |${ev.value} = ${ev.isNull} ? -1 : $r.intValue();
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgMinSqL2 =
+    copy(left = l, right = r)
+}
+
 /** `resolve_iri(value, base)` — reference R20 as a relational scalar
   * (reference `valueToUri`, `lib/RdfXmlParser.ts:161-163`). Null (not error)
   * on unresolvable input. */
@@ -534,6 +714,10 @@ object GraftFunctions {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def dot_f64(a: Column, b: Column): Column = column(DotF64(expression(a), expression(b)))
   def sq_l2_f64(a: Column, b: Column): Column = column(SqL2F64(expression(a), expression(b)))
+  def argmax_cos(e: Column, n: Column, cents: Column, cnorms: Column): Column =
+    column(ArgMaxCos(expression(e), expression(n), expression(cents), expression(cnorms)))
+  def argmin_sql2(v: Column, cents: Column): Column =
+    column(ArgMinSqL2(expression(v), expression(cents)))
   def word_shingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
   def char_shingles(c: Column, n: Int): Column = column(CharShingles(expression(c), n))
   def word_gram_hashes(c: Column, n: Int): Column = column(WordGramHashes(expression(c), n))
@@ -551,6 +735,8 @@ object GraftFunctions {
     registerTemp(spark, "simhash64", es => SimHash64(es.head))
     registerTemp(spark, "dot_f64", es => DotF64(es.head, es(1)))
     registerTemp(spark, "sq_l2_f64", es => SqL2F64(es.head, es(1)))
+    registerTemp(spark, "argmax_cos", es => ArgMaxCos(es.head, es(1), es(2), es(3)))
+    registerTemp(spark, "argmin_sql2", es => ArgMinSqL2(es.head, es(1)))
     registerTemp(spark, "resolve_iri", es => ResolveIri(es.head, es(1)))
     registerTemp(spark, "word_shingles", es => WordShingles(es.head, litInt(es(1), "word_shingles")))
     registerTemp(spark, "char_shingles", es => CharShingles(es.head, litInt(es(1), "char_shingles")))

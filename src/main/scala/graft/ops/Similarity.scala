@@ -48,7 +48,7 @@ object Similarity {
     * times where O(vectors) suffices — the dominant waste in any bucketed
     * pair pass. Bit-identical scores (same fold, same division), and the
     * same shape the DuckDB oracles' `nrm` CTE uses. */
-  private def withNorms(embeddings: DataFrame): DataFrame =
+  private[graft] def withNorms(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("n"))
 
   def bruteTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
@@ -191,13 +191,15 @@ object Similarity {
     * `cell` — at 100 TB this is the partition-pruning shape (cell =
     * partition key), vs. LSH's multi-table union.
     *
-    * The codebook is a broadcast-joined TABLE (cell, centroid), not a bank
-    * of literal expressions: plan size and codegen stay O(1) as nCells grows
-    * to the 4k–64k cells a real 100 TB index needs (a 64k-branch literal
-    * expression is a plan-size cliff). Assignment = broadcast nested-loop
-    * against the nCells rows + one max-of-struct aggregate (argmax).
-    * Approximate; OpsSpec asserts recall vs [[bruteTopK]] and exhaustive
-    * equality when probing all cells. */
+    * The codebook is a broadcast TABLE (collapsed to one row of parallel
+    * arrays), not a bank of literal expressions: plan size and codegen stay
+    * O(1) as nCells grows to the 4k–64k cells a real 100 TB index needs (a
+    * 64k-branch literal expression is a plan-size cliff). Assignment = one
+    * native `argmax_cos` projection per vector against that broadcast row —
+    * map-only, no exchange on the corpus side at all (r7; previously a
+    * nCells-way candidate explode + groupBy(vec_id) argmax whose exchange
+    * carried the embedding column). Approximate; OpsSpec asserts recall vs
+    * [[bruteTopK]] and exhaustive equality when probing all cells. */
   /** Deterministic coarse codebook: the nCells lowest vec_ids
     * (data-independent choice; [[lloydRefine]] trains it in place when
     * `trainIters > 0`). The global (unpartitioned) window
@@ -205,7 +207,7 @@ object Similarity {
     * limit(nCells) frame: at most nCells rows reach it at ANY data scale,
     * so the single partition is a constant-size reduction, not a
     * bottleneck. */
-  private def coarseCodebook(e: DataFrame, nCells: Int): DataFrame = {
+  private[graft] def coarseCodebook(e: DataFrame, nCells: Int): DataFrame = {
     val w0 = Window.orderBy("vec_id")
     e.orderBy("vec_id").limit(nCells)
       .select((row_number().over(w0) - 1).cast("int").as("cell"),
@@ -225,13 +227,16 @@ object Similarity {
     * Cells that lose every member keep their previous centroid
     * (deterministic, and what the DuckDB oracle replays via a left join).
     *
-    * Scale shape per iteration: one broadcast-join assignment (the
-    * codebook is the small side), one (cell, pos) aggregation whose
-    * map-side partial collapses to nCells·dim rows per task, and a
-    * bounded nCells-row result that is `localCheckpoint`ed so the next
-    * iteration's plan does not nest the previous one's corpus scan —
-    * Lloyd is inherently iterative; the checkpoint keeps the final query
-    * plan linear in `iters` instead of exponential. */
+    * Scale shape per iteration: one MAP-ONLY broadcast assignment (the
+    * native argmax against the collapsed codebook row — the corpus is
+    * never shuffled by the assignment; before r7 the groupBy(vec_id)
+    * argmax exchanged the full embedding column once per iteration), one
+    * (cell, pos) aggregation whose map-side partial collapses to
+    * nCells·dim rows per task, and a bounded nCells-row result that is
+    * `localCheckpoint`ed so the next iteration's plan does not nest the
+    * previous one's corpus scan — Lloyd is inherently iterative; the
+    * checkpoint keeps the final query plan linear in `iters` instead of
+    * exponential. */
   private[graft] def lloydRefine(e: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     // start from double centroids so every iteration (and the coalesce
     // with kept-previous centroids) carries one element type
@@ -265,9 +270,38 @@ object Similarity {
     cb
   }
 
-  /** argmax cell per vector: max of (score, -cell) picks the smallest cell
-    * on score ties — the same first-max-index rule as array_position. */
-  private def coarseAssign(e: DataFrame, codebook: DataFrame): DataFrame =
+  /** The codebook collapsed to ONE row of cell-ascending parallel arrays
+    * (cells, centroids, norms) — the broadcastable argument of the map-side
+    * assignment kernel. The global collect_list aggregate moves only the
+    * bounded nCells rows (the codebook is already a global-limit /
+    * checkpointed frame), so its SinglePartition exchange is O(nCells) at
+    * any corpus scale. */
+  private def codebookRow(codebook: DataFrame): DataFrame =
+    codebook.agg(array_sort(collect_list(struct(col("cell"), col("centroid"), col("cn")))).as("cb"))
+      .select(transform(col("cb"), c => c.getField("cell")).as("cb_cells"),
+        transform(col("cb"), c => c.getField("centroid")).as("cb_cents"),
+        transform(col("cb"), c => c.getField("cn")).as("cb_cnorms"))
+
+  /** argmax cell per vector — map-side (r7): one native `argmax_cos` call
+    * per row against the broadcast single-row codebook replaces the
+    * nCells-way candidate explode + `groupBy(vec_id).agg(max(struct))`,
+    * whose exchange carried the full embedding column — at 100 TB a
+    * corpus-sized shuffle PER Lloyd iteration, now zero. Tie/NaN order is
+    * exactly the aggregate form's `max(struct(s, -cell))` (see
+    * [[graft.functions.ExprHelpers.argmaxCos]]);
+    * [[coarseAssignByAgg]] is kept as the defining formulation and
+    * RestructureEquivalenceSpec pins row-equality of the two. */
+  private[graft] def coarseAssign(e: DataFrame, codebook: DataFrame): DataFrame =
+    e.crossJoin(broadcast(codebookRow(codebook)))
+      .select(col("vec_id"), col("embedding"), col("n"),
+        element_at(col("cb_cells"),
+          graft.functions.GraftFunctions.argmax_cos(
+            col("embedding"), col("n"), col("cb_cents"), col("cb_cnorms")) + 1).as("cell"))
+
+  /** The defining aggregate formulation of [[coarseAssign]] (the shape the
+    * DuckDB oracles replay): kept ONLY as the equivalence oracle for the
+    * map-side kernel — not used in any query path. */
+  private[graft] def coarseAssignByAgg(e: DataFrame, codebook: DataFrame): DataFrame =
     e.crossJoin(broadcast(codebook))
       .select(col("vec_id"), col("embedding"), col("n"),
         struct((dot(col("embedding"), col("centroid")) / (col("n") * col("cn"))).as("s"),
@@ -360,14 +394,13 @@ object Similarity {
     * place when `trainIters > 0`).
     *
     * Output is EXPLODED (vec_id, subspace, code) integer rows so the
-    * driver hash never sees a float. Scale shape: the codebook is m·k
-    * broadcast rows; the vector side is a narrow m-way explode; the
-    * assignment join is broadcast (no exchange on the corpus side); and
-    * the (vec_id, subspace) argmin collapses COMPLETELY in the map-side
-    * partial `min` (all k candidate rows of a group are produced in the
-    * same task by the broadcast join), so the one exchange carries n·m
-    * tiny rows. Distances are the same left-to-right double fold as
-    * [[dot]], so the DuckDB oracle replays the argmin bit-exactly; ties
+    * driver hash never sees a float. Scale shape: the codebook collapses
+    * to m broadcast rows of parallel arrays; the vector side is a narrow
+    * m-way explode; the code is one native `argmin_sql2` projection per
+    * (vec_id, subspace) row — the operator has NO exchange at all (r7;
+    * previously a k-way candidate explode + groupBy argmin whose exchange
+    * carried n·m rows). Distances are the same left-to-right double fold
+    * as [[dot]], so the DuckDB oracle replays the argmin bit-exactly; ties
     * break to the smallest centroid index via lexicographic struct min. */
   /** The m contiguous subvector slices of an embedding column. */
   private def subSlices(c: Column, m: Int, sub: Int): Column =
@@ -383,23 +416,31 @@ object Similarity {
       .select(col("j"), posexplode(subSlices(col("embedding"), m, sub)).as(Seq("subspace", "csub")))
   }
 
+  /** The PQ codebook collapsed to one row PER SUBSPACE of j-ascending
+    * parallel arrays — the m-row broadcastable argument of the map-side
+    * `argmin_sql2` kernel ([[codebookRow]]'s per-subspace sibling). The
+    * groupBy moves only the bounded m·k codebook rows. */
+  private def pqCodebookRows(cb: DataFrame): DataFrame =
+    cb.groupBy("subspace").agg(array_sort(collect_list(struct(col("j"), col("csub")))).as("cb"))
+      .select(col("subspace"), transform(col("cb"), c => c.getField("j")).as("cb_js"),
+        transform(col("cb"), c => c.getField("csub")).as("cb_cents"))
+
   /** Per-subspace Lloyd refinement of a PQ codebook — the sibling of
     * [[lloydRefine]] with squared-L2 assignment (PQ's metric) instead of
-    * cosine, run over all m subspaces in one frame (the argmin groups by
-    * (vec_id, subspace); the mean by (subspace, j, pos)). Same
-    * order-free fixed-point mean, same keep-previous-on-empty rule, same
-    * per-iteration localCheckpoint of the bounded m·k-row codebook. */
+    * cosine, run over all m subspaces in one frame (the argmin is a
+    * map-only `argmin_sql2` projection against the per-subspace collapsed
+    * codebook rows — r7, no corpus exchange; the mean groups by
+    * (subspace, j, pos)). Same order-free fixed-point mean, same
+    * keep-previous-on-empty rule, same per-iteration localCheckpoint of
+    * the bounded m·k-row codebook. */
   private[graft] def lloydRefinePq(vsubs: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     var cb = init.select(col("j"), col("subspace"),
       transform(col("csub"), x => x.cast("double")).as("csub"))
     for (_ <- 1 to iters) {
-      val dist = graft.functions.GraftFunctions.sq_l2_f64(col("vsub"), col("csub"))
-      val asg = vsubs.join(broadcast(cb), Seq("subspace"))
-        .select(col("vec_id"), col("subspace"), col("vsub"),
-          struct(dist.as("d"), col("j").as("j")).as("dj"))
-        .groupBy("vec_id", "subspace")
-        .agg(first(col("vsub")).as("vsub"), min(col("dj")).as("best"))
-        .select(col("subspace"), col("vsub"), col("best.j").as("j"))
+      val asg = vsubs.join(broadcast(pqCodebookRows(cb)), Seq("subspace"))
+        .select(col("subspace"), col("vsub"),
+          element_at(col("cb_js"),
+            graft.functions.GraftFunctions.argmin_sql2(col("vsub"), col("cb_cents")) + 1).as("j"))
       val cent = asg
         .select(col("subspace"), col("j"), posexplode(col("vsub")).as(Seq("pos", "x")))
         .groupBy("subspace", "j", "pos")
@@ -434,10 +475,37 @@ object Similarity {
     val codebook =
       if (trainIters > 0) lloydRefinePq(vsubs, pqCodebook(e, m, k, sub), trainIters)
       else pqCodebook(e, m, k, sub)
-    // Native codegen fold (graft.functions.SqL2F64) — the scoring
-    // projection runs n·m·k times and the defining aggregate(zip_with(…))
-    // chain is CodegenFallback, which would exile the whole stage from
-    // codegen; ExpressionFuzzSpec pins bit-equality of the two forms.
+    // Map-side argmin (r7): one native `argmin_sql2` call per (vec_id,
+    // subspace) row against the m-row broadcast codebook replaces the
+    // k-way candidate explode + `groupBy(vec_id, subspace).agg(min(struct))`
+    // — PQ encoding is now a pure projection with NO exchange at all (the
+    // old argmin exchange carried n·m rows — corpus-sized, however narrow).
+    // Tie/NaN order is exactly the aggregate form's `min(struct(d, j))`
+    // (ExprHelpers.argminSqL2); pqCodesByAgg is the defining formulation
+    // RestructureEquivalenceSpec pins row-equality against.
+    vsubs.join(broadcast(pqCodebookRows(codebook)), Seq("subspace"))
+      .select(col("vec_id"), col("subspace"),
+        element_at(col("cb_js"),
+          graft.functions.GraftFunctions.argmin_sql2(col("vsub"), col("cb_cents")) + 1).as("code"))
+  }
+
+  /** The defining aggregate formulation of [[pqCodes]]' code assignment
+    * (the shape the DuckDB oracles replay) — kept ONLY as the equivalence
+    * oracle for the map-side kernel, not used in any query path. */
+  private[graft] def pqCodesByAgg(embeddings: DataFrame, m: Int = 4, k: Int = 16, dim: Int = 0,
+                                  trainIters: Int = 0): DataFrame = {
+    val d = embeddingDim(embeddings, dim)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    if (d == 0)
+      return e.select(col("vec_id"), lit(0).as("subspace"), lit(0).as("code"))
+        .filter(lit(false))
+    require(d % m == 0, s"embedding dim $d not divisible into $m subspaces")
+    val sub = d / m
+    val vsubs = e.select(col("vec_id"),
+      posexplode(subSlices(col("embedding"), m, sub)).as(Seq("subspace", "vsub")))
+    val codebook =
+      if (trainIters > 0) lloydRefinePq(vsubs, pqCodebook(e, m, k, sub), trainIters)
+      else pqCodebook(e, m, k, sub)
     val dist = graft.functions.GraftFunctions.sq_l2_f64(col("vsub"), col("csub"))
     vsubs.join(broadcast(codebook), Seq("subspace"))
       .select(col("vec_id"), col("subspace"), struct(dist.as("d"), col("j").as("j")).as("dj"))

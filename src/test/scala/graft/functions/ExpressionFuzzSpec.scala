@@ -139,6 +139,82 @@ class ExpressionFuzzSpec extends SparkSuite {
     }
   }
 
+  test("property: argmax_cos / argmin_sql2 == defining max/min(struct) aggregates, incl. ties and NaN") {
+    import spark.implicits._
+    import graft.functions.{GraftFunctions => F}
+    val rnd = new scala.util.Random(13L)
+    val dim = 8
+    // Codebook with a DUPLICATED centroid (exact score tie → smallest index
+    // must win, the max(struct(s, -cell)) rule) and a ZERO centroid (cn = 0
+    // → score NaN/Inf — Spark's total order must be replicated exactly).
+    val dup = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val normalCents: Seq[Array[Float]] =
+      Seq(dup) ++ (0 until 5).map(_ => Array.fill(dim)(rnd.nextFloat() * 2 - 1)) ++ Seq(dup)
+    // With a zero centroid every score against it is NaN (0/0), which
+    // Spark's order places ABOVE every real score — the all-NaN codebook
+    // exercises exactly that branch; the normal one exercises real scores
+    // plus the duplicated-centroid exact tie.
+    def mkCb(cents: Seq[Array[Float]]) =
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+        .select(col("cell"), col("centroid"), Similarity.norm(col("centroid")).as("cn"))
+    def mkVecs(withZero: Boolean) = ((0 until 300).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    } ++ (if (withZero) Seq((300L, Array.fill(dim)(0.0f))) else Nil)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("n"))
+    val sortedCb = array_sort(collect_list(struct(col("cell"), col("centroid"), col("cn"))))
+    def compare(cb: org.apache.spark.sql.DataFrame, vecs: org.apache.spark.sql.DataFrame): Unit = {
+      val cbRow = cb.agg(sortedCb.as("cb"))
+        .select(transform(col("cb"), c => c.getField("cell")).as("cells"),
+          transform(col("cb"), c => c.getField("centroid")).as("cents"),
+          transform(col("cb"), c => c.getField("cn")).as("cnorms"))
+      val native = vecs.crossJoin(broadcast(cbRow))
+        .select(col("vec_id"), element_at(col("cells"),
+          F.argmax_cos(col("embedding"), col("n"), col("cents"), col("cnorms")) + 1).as("cell"))
+        .as[(Long, Int)].collect().toMap
+      val defining = vecs.crossJoin(broadcast(cb))
+        .select(col("vec_id"),
+          struct((Similarity.dot(col("embedding"), col("centroid")) / (col("n") * col("cn"))).as("s"),
+            (-col("cell")).as("negc")).as("sc"))
+        .groupBy("vec_id").agg(max(col("sc")).as("best"))
+        .select(col("vec_id"), (-col("best.negc")).cast("int").as("cell"))
+        .as[(Long, Int)].collect().toMap
+      assert(native == defining)
+    }
+    // Real-score + exact-tie coverage under the session's ANSI default
+    // (the gated corpus has no zero norms — under ANSI the DEFINING
+    // formulation would refuse a 0 divisor outright, so the kernel can
+    // never silently diverge from it on gated data).
+    compare(mkCb(normalCents), mkVecs(withZero = false))
+    // NaN-ordering coverage (zero vector → all scores NaN; zero centroid →
+    // its score NaN for every vector, and NaN sits ABOVE every real score
+    // in Spark's total order): ANSI off, where `/ 0` yields the IEEE
+    // NaN/Inf the kernel's Java arithmetic always produces.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      compare(mkCb(normalCents), mkVecs(withZero = true))
+      compare(mkCb(normalCents :+ Array.fill(dim)(0.0f)), mkVecs(withZero = true))
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+
+    // argmin: sq_l2 has no division — zero vectors/centroids are exact-tie
+    // (not NaN) coverage, safe under ANSI.
+    val cb = mkCb(normalCents :+ Array.fill(dim)(0.0f))
+    val vecs = mkVecs(withZero = true)
+    val cbMinRow = cb.agg(sortedCb.as("cb"))
+      .select(transform(col("cb"), c => c.getField("cell")).as("cells"),
+        transform(col("cb"), c => c.getField("centroid")).as("cents"))
+    val nativeMin = vecs.crossJoin(broadcast(cbMinRow))
+      .select(col("vec_id"), element_at(col("cells"),
+        F.argmin_sql2(col("embedding"), col("cents")) + 1).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    val definingMin = vecs.crossJoin(broadcast(cb))
+      .select(col("vec_id"),
+        struct(Similarity.sqL2(col("embedding"), col("centroid")).as("d"), col("cell").as("j")).as("dj"))
+      .groupBy("vec_id").agg(min(col("dj")).as("best"))
+      .select(col("vec_id"), col("best.j").as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(nativeMin == definingMin)
+  }
+
   test("property: repetitionStats fold == plain-Scala mirror on adversarial text") {
     import spark.implicits._
     // Plain-Scala mirror of the documented semantics (split keeps empty

@@ -46,6 +46,23 @@ class RestructureEquivalenceSpec extends SparkSuite {
     assert(rows(viaHashes) == rows(viaStrings))
   }
 
+  test("map-side coarseAssign equals the defining groupBy(vec_id) argmax — untrained and trained") {
+    import graft.ops.Similarity
+    val e = Similarity.withNorms(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    val cb0 = Similarity.coarseCodebook(e, 16)
+    assert(rows(Similarity.coarseAssign(e, cb0)) == rows(Similarity.coarseAssignByAgg(e, cb0)))
+    val cbT = Similarity.lloydRefine(e, cb0, 2)
+    assert(rows(Similarity.coarseAssign(e, cbT)) == rows(Similarity.coarseAssignByAgg(e, cbT)))
+  }
+
+  test("map-side pqCodes equals the defining groupBy argmin — untrained and trained") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    assert(rows(Similarity.pqCodes(emb, dim = 64)) == rows(Similarity.pqCodesByAgg(emb, dim = 64)))
+    assert(rows(Similarity.pqCodes(emb, dim = 64, trainIters = 2)) ==
+      rows(Similarity.pqCodesByAgg(emb, dim = 64, trainIters = 2)))
+  }
+
   test("hashed ngramJaccardPairs equals the defining string-shingle formulation") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sh = Linking.capShingleDf(
