@@ -296,6 +296,33 @@ class PlanSpec extends SparkSuite {
     assert(pc.contains("partial_sum"), pc)
   }
 
+  test("PQ encode and IVF assignment are map-side: no shuffle Exchange touches the corpus (r7)") {
+    // The argmax/argmin kernels replaced the explode + groupBy(vec_id)
+    // aggregates whose exchange carried the full embedding column — at
+    // corpus scale a full shuffle per Lloyd iteration / encode pass. The
+    // only exchanges allowed in pqCodes' plan are broadcast builds of the
+    // bounded codebook; coarse assignment may additionally keep the
+    // SinglePartition collect of the ≤ nCells codebook rows, but no
+    // hash-partitioned exchange may consume the embeddings scan.
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pp = plan(graft.ops.Similarity.pqCodes(e, dim = 64))
+    assert(!pp.contains("+- Exchange") && !pp.contains(": Exchange"), pp) // broadcast-only
+    assert(pp.contains("argminsql2") || pp.contains("argmin_sql2"), pp)
+    val en = graft.ops.Similarity.withNorms(e)
+    val pa = plan(graft.ops.Similarity.coarseAssign(
+      en, graft.ops.Similarity.coarseCodebook(en, 16)))
+    // the corpus side: Scan parquet must reach the BroadcastNestedLoopJoin
+    // (the 1-row codebook attach) without an Exchange above it
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val sp = graft.ops.Similarity.coarseAssign(
+      en, graft.ops.Similarity.coarseCodebook(en, 16)).queryExecution.sparkPlan
+    val bnl = sp.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.nonEmpty, pa)
+    assert(bnl.forall(j => j.left.collect { case x: ShuffleExchangeLike => x }.isEmpty), pa)
+    assert(pa.contains("argmaxcos") || pa.contains("argmax_cos"), pa)
+  }
+
   test("ivfPqTopK never broadcasts the candidate frame (O(corpus) — shuffle equi-join on vec_id)") {
     // r5 verdict: the candidate set is ≈ n·nProbe/nCells rows — an explicit
     // broadcast(cand) is a driver-OOM at index scale. With auto-broadcast
